@@ -1,0 +1,97 @@
+"""CDLP / LPA — LDBC Graphalytics community detection by label
+propagation, the semantics GAE's ``cdlp`` app is verified against
+(golden ``p2p-31-CDLP``, reference ``test/app_tests.sh:359-366,
+402-405``; doc ``docs/analytical_engine/builtin_algorithms.md:89-99,
+236-247``; python wrapper ``analytical/app/lpa.py:29-54`` with
+``max_round=10`` pinned in ``test/run_app.h:254-263``):
+
+- init ``label(v) = v``;
+- synchronous rounds: every vertex adopts the **most frequent** label
+  among its incoming AND outgoing neighbors (a bidirectional neighbor
+  counts twice), ties broken by **minimum** label;
+- exactly ``max_round`` rounds (no convergence test);
+- a vertex with no neighbors keeps its label.
+
+NOTE the FLASH variant (``apps/flash/clustering/lpa.h:47-77``) uses
+first-seen tie-break — the LDBC min-tie-break here is normative since
+the reference's goldens are LDBC files (SURVEY.md §2.B.3).
+
+Spark shape per round: edge⋈label join, ``groupBy(dst,label).count()``
+histogram, then argmax-with-min-tie-break as a single
+``max(struct(count, -label))`` aggregation — two shuffles, no window
+function (a window over (dst) would sort; max(struct) is hash-agg and
+map-side combinable).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from graphscope_spark.graph import Graph
+from graphscope_spark.plans.checkpoint import CheckpointManager, maybe_truncate_lineage
+
+
+def cdlp(
+    graph: Graph,
+    max_round: int = 10,
+    checkpoint: CheckpointManager | None = None,
+    lineage_truncate_every: int = 5,
+) -> DataFrame:
+    """Returns ``(id long, label long)`` after exactly ``max_round``
+    synchronous LDBC-CDLP rounds."""
+    # in+out neighbor multiset: reversed edges unioned WITHOUT dedup —
+    # a u↔v pair contributes v's label to u twice, per LDBC spec.
+    if graph.directed:
+        msgs_edges = graph.edges.select("src", "dst").unionByName(
+            graph.reversed_edges().select("src", "dst")
+        )
+    else:
+        # undirected graph: edges already symmetrized, each neighbor once
+        msgs_edges = graph.edges.select("src", "dst")
+    msgs_edges = msgs_edges.where(F.col("src") != F.col("dst"))
+    if graph.num_partitions:
+        msgs_edges = msgs_edges.repartition(graph.num_partitions, "src")
+    msgs_edges = msgs_edges.persist(StorageLevel.MEMORY_AND_DISK)
+
+    start_round = 0
+    if checkpoint is not None and (latest := checkpoint.latest_superstep()) is not None:
+        state = checkpoint.load_state(graph.vertices.sparkSession, latest)
+        start_round = latest + 1
+    else:
+        state = graph.vertices.select("id", F.col("id").alias("label"))
+    state = state.persist(StorageLevel.MEMORY_AND_DISK)
+
+    for rnd in range(start_round, max_round):
+        t0 = time.time()
+        hist = (
+            msgs_edges.join(state.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # argmax(count) with min-label tie-break: max over (cnt, -label)
+        winner = hist.groupBy("id").agg(
+            (-F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg")))["neg"]).alias(
+                "new_label"
+            )
+        )
+        new_state = (
+            state.withColumnRenamed("label", "old_label")
+            .join(winner, "id", "left")
+            .select("id", F.coalesce("new_label", F.col("old_label")).alias("label"))
+        )
+        new_state = maybe_truncate_lineage(
+            new_state.persist(StorageLevel.MEMORY_AND_DISK), rnd, lineage_truncate_every
+        )
+        new_state.count()  # materialize before dropping parent
+        state.unpersist()
+        state = new_state
+        if checkpoint is not None:
+            checkpoint.save(
+                rnd, state, {"wall_ms": (time.time() - t0) * 1000.0}
+            )
+
+    return state.select("id", "label")

@@ -1,0 +1,139 @@
+"""PageRank — NetworkX-faithful semantics of the reference's
+``pagerank_nx`` app (``analytical_engine/apps/pagerank/
+pagerank_networkx.h``, 167 LoC; declared as GAE's PageRank definition
+in ``docs/analytical_engine/builtin_algorithms.md:257-271``):
+
+- init ``r(v) = 1/N``; per-vertex out-degree cached (ref ``:62-74``);
+- ``dangling_sum = α·Σ_{outdeg=0} r(v)`` (ref ``:76-87, 137-161``);
+- each round: ``base = (1-α)/N + dangling_sum/N``;
+  ``r'(v) = α·Σ_{u→v} r(u)/outdeg(u) + base`` — pull from in-neighbors
+  on digraphs, neighbors on undirected (ref ``:108-133``);
+- stop when ``Σ_v |r'(v) − r(v)| < tol·N`` or round > max_iter
+  (ref ``:135-149``); defaults ``alpha=0.85, max_iter=100, tol=1e-6``
+  (``python/graphscope/analytical/app/pagerank.py:91-121``).
+
+Spark shape per superstep (SURVEY.md §4.3): one co-partitioned join of
+the cached CSR adjacency with the rank state, one shuffle aggregation
+of exploded contributions by ``dst`` (map-side partial sum = GAE's
+message combining), and ONE driver action that computes the L1 delta
+and the next dangling sum together — three logical steps, a single
+Spark job per superstep.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from graphscope_spark.graph import Graph
+from graphscope_spark.plans.checkpoint import CheckpointManager, maybe_truncate_lineage
+
+
+def pagerank(
+    graph: Graph,
+    alpha: float = 0.85,
+    max_iter: int = 100,
+    tol: float = 1e-06,
+    checkpoint: CheckpointManager | None = None,
+    lineage_truncate_every: int = 5,
+) -> DataFrame:
+    """Returns ``(id long, rank double)``.
+
+    ``tol <= 0`` gives the fixed-round LDBC/Graphalytics variant
+    (``grape::PageRankOpt`` with ``delta=0.85, max_round=10`` pinned in
+    ``test/run_app.h:342-358``) — exactly ``max_iter`` rounds.
+    """
+    direction = "in" if graph.directed else "both"
+    # messages flow src→dst along this adjacency: for the pull-from-
+    # in-neighbors digraph semantics we keep edges as-is and aggregate
+    # on dst; degree divisor is the *out*-degree (or undirected degree).
+    adj = graph.adjacency("out" if graph.directed else "both", cache=True)
+
+    # static per-vertex base table: (id, out_degree, dangling)
+    if graph.directed:
+        deg = graph.out_degrees().withColumnRenamed("out_degree", "deg")
+    else:
+        deg = graph.degrees().withColumnRenamed("degree", "deg")
+    base_v = deg.withColumn("dangling", F.col("deg") == 0)
+    if graph.num_partitions:
+        base_v = base_v.repartition(graph.num_partitions, "id")
+    base_v = base_v.persist(StorageLevel.MEMORY_AND_DISK)
+    n = base_v.count()
+    if n == 0:
+        return base_v.select("id", F.lit(0.0).alias("rank"))
+
+    # ---- init / resume -------------------------------------------------
+    start_step = 0
+    if checkpoint is not None and (latest := checkpoint.latest_superstep()) is not None:
+        state = checkpoint.load_state(graph.vertices.sparkSession, latest)
+        state = state.persist(StorageLevel.MEMORY_AND_DISK)
+        start_step = latest + 1
+    else:
+        state = base_v.select("id", F.lit(1.0 / n).alias("rank"))
+        state = state.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # dangling_sum = α·Σ_{dangling} r(v) over the current state
+    dangling_sum = (
+        state.join(base_v.where("dangling").select("id"), "id", "left_semi")
+        .agg(F.sum("rank"))
+        .collect()[0][0]
+        or 0.0
+    ) * alpha
+
+    for step in range(start_step, max_iter):
+        t0 = time.time()
+        per_vertex_base = (1.0 - alpha) / n + dangling_sum / n
+        contribs = (
+            adj.join(state.withColumnRenamed("id", "src"), "src")
+            .select(
+                F.explode("dst_list").alias("id"),
+                (F.col("rank") / F.col("degree")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("msum"))
+        )
+        new_state = (
+            base_v.join(contribs, "id", "left")
+            .select(
+                "id",
+                (alpha * F.coalesce("msum", F.lit(0.0)) + F.lit(per_vertex_base)).alias(
+                    "rank"
+                ),
+                "dangling",
+            )
+        )
+        new_state = maybe_truncate_lineage(
+            new_state.persist(StorageLevel.MEMORY_AND_DISK), step, lineage_truncate_every
+        )
+        # single action: L1 delta + next dangling sum together
+        row = (
+            new_state.withColumnRenamed("rank", "new_rank")
+            .join(state.withColumnRenamed("rank", "old_rank"), "id")
+            .agg(
+                F.sum(F.abs(F.col("new_rank") - F.col("old_rank"))).alias("l1"),
+                F.sum(F.when(F.col("dangling"), F.col("new_rank")).otherwise(0.0)).alias(
+                    "dsum"
+                ),
+            )
+            .collect()[0]
+        )
+        l1, dangling_sum = row["l1"] or 0.0, (row["dsum"] or 0.0) * alpha
+        state.unpersist()
+        state = new_state.select("id", "rank")
+        if checkpoint is not None:
+            checkpoint.save(
+                step,
+                state,
+                {
+                    "l1_delta": float(l1),
+                    "dangling_sum": float(dangling_sum),
+                    "wall_ms": (time.time() - t0) * 1000.0,
+                },
+            )
+        if tol > 0 and l1 < tol * n:
+            break
+
+    return state.select("id", "rank")

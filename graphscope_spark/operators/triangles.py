@@ -1,0 +1,78 @@
+"""Per-vertex triangle counting — degree-oriented two-join.
+
+Reference: ``apps/clustering/triangles.h`` (162 LoC), undirected,
+``kOnlyOut`` load (``test/run_app.h:427-434``):
+
+- stage 0: global degrees broadcast (ref ``:49-53``);
+- stage 1: orient each undirected edge once by (degree, id) order
+  (ref ``:70-95``) — bounds per-vertex oriented out-degree to O(√m),
+  which is what keeps the join from exploding on hub vertices
+  (SURVEY.md §4.1 "degree-ordered edge orientation");
+- stage 2: neighbor-set intersection per oriented edge, every hit
+  increments all three corners (ref ``:110-139``).
+
+Spark shape: the hash-set intersection becomes the classic two-join —
+oriented edges E' (low→high by (deg,id)); paths a→b→c from
+E'⋈E' on the middle vertex; closing edge check by joining E' again on
+(a,c).  Each triangle {a,b,c} matches exactly once.  Per-vertex counts
+are the union of the three corner projections aggregated by id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from graphscope_spark.graph import Graph
+
+
+def oriented_edges(graph: Graph) -> DataFrame:
+    """Symmetrized simple edges kept once, oriented low→high in
+    (degree, id) lexicographic order: ``(src, dst)`` with
+    ``(deg(src), src) < (deg(dst), dst)``."""
+    deg = graph.degrees()
+    e = graph.symmetrized_edges().select("src", "dst")
+    ds = deg.select(F.col("id").alias("src"), F.col("degree").alias("sdeg"))
+    dd = deg.select(F.col("id").alias("dst"), F.col("degree").alias("ddeg"))
+    return (
+        e.join(ds, "src")
+        .join(dd, "dst")
+        .where(
+            (F.col("sdeg") < F.col("ddeg"))
+            | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
+        )
+        .select("src", "dst")
+    )
+
+
+def triangle_list(graph: Graph) -> DataFrame:
+    """All triangles, once each, as ``(a, b, c)`` ordered by (deg,id)."""
+    e = oriented_edges(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    return e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
+
+
+def triangles(graph: Graph) -> DataFrame:
+    """Returns ``(id long, tricnt long)`` — triangles through each
+    vertex; vertices in none included with 0 (exact-match golden
+    semantics, reference ``test_app.py:231-234``)."""
+    tris = triangle_list(graph)
+    corners = (
+        tris.select(F.col("a").alias("id"))
+        .unionAll(tris.select(F.col("b").alias("id")))
+        .unionAll(tris.select(F.col("c").alias("id")))
+    )
+    counts = corners.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("tricnt"))
+    return (
+        graph.vertices.select("id")
+        .join(counts, "id", "left")
+        .select("id", F.coalesce("tricnt", F.lit(0).cast("long")).alias("tricnt"))
+    )
+
+
+def global_triangle_count(graph: Graph) -> int:
+    """FLASH global variant (``apps/flash/subgraph/triangle.h:46-70``)."""
+    return triangle_list(graph).count()

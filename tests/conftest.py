@@ -1,0 +1,44 @@
+import pytest
+from pyspark.sql import SparkSession
+
+from graphscope_spark.graph import Graph
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("graphscope-spark-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+def make_graph(spark, vertices, edges, directed=True, num_partitions=4):
+    v = spark.createDataFrame([(int(x),) for x in vertices], "id long")
+    e = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "src long, dst long"
+    )
+    return Graph.from_edges(e, directed=directed, vertices=v,
+                            num_partitions=num_partitions)
+
+
+def make_weighted_graph(spark, vertices, wedges, directed=True, num_partitions=4):
+    v = spark.createDataFrame([(int(x),) for x in vertices], "id long")
+    e = spark.createDataFrame(
+        [(int(a), int(b), float(w)) for a, b, w in wedges],
+        "src long, dst long, weight double",
+    )
+    return Graph.from_edges(e, directed=directed, vertices=v,
+                            num_partitions=num_partitions)
+
+
+def df_to_dict(df, key="id"):
+    rows = df.collect()
+    vcol = [c for c in df.columns if c != key][0]
+    return {r[key]: r[vcol] for r in rows}
