@@ -1,0 +1,104 @@
+"""Headline benchmark: flagship graph apps on the co-order part graph
+at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1), plus the
+edge-mining pipeline on a synthetic source-code table.
+
+Prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "pagerank_edges_per_sec_per_superstep": ...}
+
+The per-superstep PageRank throughput (edges/sec) is the scored
+metric from BASELINE.json; the two-parallelism scaling protocol lives
+in ``jobs/scaling_bench.py`` (writes BENCH/BASELINE.md evidence).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from graphscope_spark.entry import part_graph, part_graph_undirected
+from graphscope_spark.operators.cdlp import cdlp
+from graphscope_spark.operators.pagerank import pagerank
+from graphscope_spark.operators.triangles import triangles
+from graphscope_spark.operators.wcc import wcc
+from graphscope_spark.session import get_spark
+from graphscope_spark.sources.miner import mine_edges
+from graphscope_spark.sources.synthetic import gen_code_table
+
+PR_ROUNDS = 10
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("graphscope-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    # -- mine: synthetic code table -> dependency edges (Arrow UDF path)
+    t0 = time.time()
+    rows = gen_code_table(n_repos=500, files_per_repo=6, seed=42)
+    code_df = spark.createDataFrame(rows)
+    files, edges = mine_edges(code_df, use_arrow_udf=True)
+    n_mined = edges.count()
+    timings["mine"] = time.time() - t0
+
+    # -- build the co-order graph once (cached adjacency reused)
+    t0 = time.time()
+    g = part_graph(spark, sf_dir)
+    g.edges = g.edges.persist()
+    n_edges = g.edges.count()
+    n_verts = g.vertices.persist().count()
+    timings["graph_build"] = time.time() - t0
+
+    # -- pagerank: 10 fixed rounds (LDBC protocol)
+    t0 = time.time()
+    pagerank(g, alpha=0.85, max_iter=PR_ROUNDS, tol=0.0).agg(
+        F.sum("rank")
+    ).collect()
+    timings["pagerank"] = time.time() - t0
+    pr_eps = n_edges * PR_ROUNDS / timings["pagerank"]
+
+    # -- pagerank to 1e-6 convergence (supersteps-to-convergence metric)
+    t0 = time.time()
+    pagerank(g, alpha=0.85, max_iter=100, tol=1e-06).limit(1).collect()
+    timings["pagerank_conv"] = time.time() - t0
+
+    # -- wcc / cdlp / triangles
+    t0 = time.time()
+    wcc(g).agg(F.countDistinct("comp")).collect()
+    timings["wcc"] = time.time() - t0
+
+    gu = part_graph_undirected(spark, sf_dir)
+    t0 = time.time()
+    cdlp(gu, max_round=10).agg(F.countDistinct("label")).collect()
+    timings["cdlp"] = time.time() - t0
+
+    t0 = time.time()
+    triangles(g).agg(F.sum("tricnt")).collect()
+    timings["triangles"] = time.time() - t0
+
+    out = {
+        "metric": "flagship graph apps wall time (co-order part graph)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "graph": {"vertices": n_verts, "edges": n_edges,
+                  "mined_edges": n_mined},
+        "pagerank_edges_per_sec_per_superstep": round(pr_eps),
+        "pagerank_rounds": PR_ROUNDS,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,422 @@
+"""Driver-facing query registry: Spark queries + DuckDB oracle SQL.
+
+Every implemented operator (SURVEY.md §2) is exposed twice, in
+lockstep:
+
+- a Spark callable ``(spark, sf_dir) -> DataFrame`` running the real
+  engine code;
+- an equivalent ANSI-SQL string for DuckDB over the same parquet
+  tables — for the iterative graph apps the fixed number of supersteps
+  is *unrolled* into chained CTEs by a generator function, so the
+  oracle is the exact same algorithm executed by a completely
+  independent engine.
+
+The canonical graph for the graph queries is the **co-order part
+graph** derived from ``lineitem``: vertices = part keys, a directed
+edge ``a→b`` iff parts a<b appear in the same order (and the
+symmetrized view of it for the undirected apps).  It is deterministic,
+derivable identically in SQL, and skewed enough (hot parts) to
+exercise the hub paths.
+
+Float columns are rounded in BOTH engines before comparison so that
+summation-order differences (Spark partial aggregation vs DuckDB
+sequential) cannot flip the value hash; rounding precision is chosen
+per column so the fp error (≤1e-9 relative) sits far below the
+rounding boundary.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import Graph
+from graphscope_spark.operators.cdlp import cdlp
+from graphscope_spark.operators.centrality import degree_centrality
+from graphscope_spark.operators.clustering import lcc
+from graphscope_spark.operators.pagerank import pagerank
+from graphscope_spark.operators.traversal import bfs
+from graphscope_spark.operators.triangles import triangle_list, triangles
+from graphscope_spark.operators.wcc import wcc
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------
+# canonical graph: co-order part graph from lineitem
+# --------------------------------------------------------------------
+
+def part_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(vertices(id), directed edges(src,dst)) of the co-order graph.
+
+    Directed convention: src < dst (part-key order), distinct pairs.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    verts = li.select(F.col("l_partkey").alias("id")).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    dedges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    return verts, dedges
+
+
+def part_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    verts, dedges = part_edges(spark, sf_dir)
+    return Graph.from_edges(dedges, directed=True, vertices=verts)
+
+
+def part_graph_undirected(spark: SparkSession, sf_dir: str) -> Graph:
+    return part_graph(spark, sf_dir).undirected()
+
+
+# SQL prelude defining the same graph for DuckDB (views pre-registered)
+_G = """\
+li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+verts AS (SELECT DISTINCT l_partkey AS id FROM li),
+dedges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM li a JOIN li b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+sym AS (SELECT src, dst FROM dedges
+        UNION ALL SELECT dst AS src, src AS dst FROM dedges)"""
+
+_TRI = """\
+udeg AS (SELECT v.id, count(e.src) AS d
+         FROM verts v LEFT JOIN sym e ON e.src = v.id GROUP BY v.id),
+o AS (SELECT e.src, e.dst FROM sym e
+      JOIN udeg da ON da.id = e.src JOIN udeg db ON db.id = e.dst
+      WHERE (da.d < db.d) OR (da.d = db.d AND e.src < e.dst)),
+t AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM o e1 JOIN o e2 ON e1.dst = e2.src
+      JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+tric AS (SELECT id, count(*) AS cnt FROM (
+           SELECT a AS id FROM t UNION ALL SELECT b FROM t
+           UNION ALL SELECT c FROM t) GROUP BY id)"""
+
+
+def _pagerank_sql(rounds: int = 10, alpha: float = 0.85) -> str:
+    parts = [
+        _G,
+        "deg AS (SELECT v.id, count(e.src) AS outdeg\n"
+        "        FROM verts v LEFT JOIN dedges e ON e.src = v.id GROUP BY v.id)",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM verts)",
+        "r0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM verts)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"d{k} AS (SELECT coalesce(sum(r.rank), 0)*{alpha!r} AS ds\n"
+            f"        FROM r{k} r JOIN deg ON deg.id = r.id WHERE deg.outdeg = 0)"
+        )
+        parts.append(
+            f"m{k} AS (SELECT e.dst AS id, sum(r.rank / deg.outdeg) AS s\n"
+            f"        FROM dedges e JOIN r{k} r ON e.src = r.id\n"
+            f"        JOIN deg ON deg.id = r.id GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{k + 1} AS (SELECT v.id,\n"
+            f"        {alpha!r}*coalesce(m.s, 0.0)"
+            f" + ({1.0 - alpha!r} + (SELECT ds FROM d{k}))/(SELECT n FROM nn)"
+            f" AS rank\n"
+            f"        FROM verts v LEFT JOIN m{k} m ON m.id = v.id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, round(rank, 6) AS rank FROM r{rounds}"
+    )
+
+
+def _wcc_sql(rounds: int = 8) -> str:
+    parts = [_G, "s0 AS (SELECT id, id AS comp FROM verts)"]
+    for k in range(rounds):
+        parts.append(
+            f"s{k + 1} AS (SELECT s.id,"
+            f" least(s.comp, coalesce(m.mn, s.comp)) AS comp\n"
+            f"        FROM s{k} s LEFT JOIN (\n"
+            f"          SELECT e.dst AS id, min(s2.comp) AS mn\n"
+            f"          FROM sym e JOIN s{k} s2 ON e.src = s2.id GROUP BY e.dst\n"
+            f"        ) m ON m.id = s.id)"
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT id, comp FROM s{rounds}"
+
+
+def _cdlp_sql(rounds: int = 10) -> str:
+    parts = [_G, "l0 AS (SELECT id, id AS label FROM verts)"]
+    for k in range(rounds):
+        parts.append(
+            f"w{k} AS (SELECT id, label AS lbl FROM (\n"
+            f"          SELECT e.dst AS id, s.label, count(*) AS cnt\n"
+            f"          FROM sym e JOIN l{k} s ON e.src = s.id\n"
+            f"          GROUP BY e.dst, s.label)\n"
+            f"        QUALIFY row_number() OVER"
+            f" (PARTITION BY id ORDER BY cnt DESC, label ASC) = 1)"
+        )
+        parts.append(
+            f"l{k + 1} AS (SELECT s.id, coalesce(w.lbl, s.label) AS label\n"
+            f"        FROM l{k} s LEFT JOIN w{k} w ON w.id = s.id)"
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT id, label FROM l{rounds}"
+
+
+def _bfs_sql(rounds: int = 6) -> str:
+    parts = [
+        _G,
+        "b0 AS (SELECT (SELECT min(id) FROM verts) AS id, 0 AS depth)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"b{k + 1} AS (SELECT id, min(depth) AS depth FROM (\n"
+            f"          SELECT id, depth FROM b{k}\n"
+            f"          UNION ALL\n"
+            f"          SELECT e.dst AS id, b.depth + 1 AS depth\n"
+            f"          FROM b{k} b JOIN sym e ON e.src = b.id) GROUP BY id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, depth::BIGINT AS depth FROM b{rounds}"
+    )
+
+
+# --------------------------------------------------------------------
+# query callables (Spark side)
+# --------------------------------------------------------------------
+
+def q_pagerank(spark, sf_dir):
+    g = part_graph(spark, sf_dir)
+    r = pagerank(g, alpha=0.85, max_iter=10, tol=0.0)
+    return r.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_wcc(spark, sf_dir):
+    return wcc(part_graph(spark, sf_dir)).select("id", "comp")
+
+
+def q_cdlp(spark, sf_dir):
+    g = part_graph_undirected(spark, sf_dir)
+    return cdlp(g, max_round=10).select("id", "label")
+
+
+def q_triangles(spark, sf_dir):
+    return triangles(part_graph(spark, sf_dir)).select("id", "tricnt")
+
+
+def q_tri_count(spark, sf_dir):
+    return triangle_list(part_graph(spark, sf_dir)).agg(
+        F.count(F.lit(1)).alias("tri_count")
+    )
+
+
+def q_lcc(spark, sf_dir):
+    return lcc(part_graph(spark, sf_dir)).select(
+        "id", F.round("lcc", 6).alias("lcc")
+    )
+
+
+def q_degree_centrality(spark, sf_dir):
+    g = part_graph(spark, sf_dir)
+    return degree_centrality(g, "both").select(
+        "id", F.round("dc", 6).alias("dc")
+    )
+
+
+def q_bfs(spark, sf_dir):
+    g = part_graph(spark, sf_dir)
+    source = g.vertices.agg(F.min("id")).collect()[0][0]
+    return bfs(g, int(source), symmetrize=True).select("id", "depth")
+
+
+def q_rel_group_agg(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 1).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 1).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 1
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_rel_join_topk(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("o_orderkey", "c_name", "n_name", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_rel_dedup(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_mktsegment", "n_name")
+        .distinct()
+    )
+
+
+def q_rel_antijoin(spark, sf_dir):
+    # customers with no high-value order (anti join on a filtered side)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    big = o.where(F.col("o_totalprice") > 150000).withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    return c.join(big, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+def q_rel_window_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", F.round("value", 6).alias("value"))
+    )
+
+
+def q_rel_semijoin(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        p.where(F.col("p_size") > 40)
+        .join(
+            li.withColumnRenamed("l_partkey", "p_partkey"),
+            "p_partkey",
+            "left_semi",
+        )
+        .select("p_partkey", "p_name")
+    )
+
+
+# --------------------------------------------------------------------
+# registry: name -> (callable, oracle sql | None)
+# --------------------------------------------------------------------
+
+def registry() -> dict[str, tuple[Callable, str | None]]:
+    return {
+        "pagerank": (q_pagerank, _pagerank_sql(10)),
+        "wcc": (q_wcc, _wcc_sql(8)),
+        "cdlp": (q_cdlp, _cdlp_sql(10)),
+        "triangles": (
+            q_triangles,
+            "WITH " + _G + ",\n" + _TRI
+            + "\nSELECT v.id, coalesce(tric.cnt, 0) AS tricnt\n"
+              "FROM verts v LEFT JOIN tric ON tric.id = v.id",
+        ),
+        "tri_count": (
+            q_tri_count,
+            "WITH " + _G + ",\n" + _TRI
+            + "\nSELECT count(*) AS tri_count FROM t",
+        ),
+        "lcc": (
+            q_lcc,
+            "WITH " + _G + ",\n" + _TRI
+            + "\nSELECT v.id, round(CASE WHEN udeg.d >= 2 THEN"
+              " 2.0*coalesce(tric.cnt, 0)/(udeg.d*(udeg.d - 1))"
+              " ELSE 0.0 END, 6) AS lcc\n"
+              "FROM verts v JOIN udeg ON udeg.id = v.id"
+              " LEFT JOIN tric ON tric.id = v.id",
+        ),
+        "degree_centrality": (
+            q_degree_centrality,
+            "WITH " + _G + ",\n"
+            + "udeg AS (SELECT v.id, count(e.src) AS d\n"
+              "         FROM verts v LEFT JOIN sym e ON e.src = v.id"
+              " GROUP BY v.id)\n"
+              "SELECT id, round(d / ((SELECT count(*) FROM verts) - 1.0), 6)"
+              " AS dc FROM udeg",
+        ),
+        "bfs": (q_bfs, _bfs_sql(6)),
+        "rel_group_agg": (
+            q_rel_group_agg,
+            """SELECT l_returnflag, l_linestatus,
+                      round(sum(l_quantity), 1) AS sum_qty,
+                      round(sum(l_extendedprice), 1) AS sum_base_price,
+                      round(sum(l_extendedprice*(1 - l_discount)), 1)
+                        AS sum_disc_price,
+                      round(avg(l_quantity), 4) AS avg_qty,
+                      count(*) AS count_order
+               FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        ),
+        "rel_join_topk": (
+            q_rel_join_topk,
+            """SELECT o_orderkey, c_name, n_name, o_totalprice
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+        ),
+        "rel_dedup": (
+            q_rel_dedup,
+            """SELECT DISTINCT c_mktsegment, n_name
+               FROM customer JOIN nation ON c_nationkey = n_nationkey""",
+        ),
+        "rel_antijoin": (
+            q_rel_antijoin,
+            """SELECT c_custkey, c_name FROM customer
+               WHERE NOT EXISTS (SELECT 1 FROM orders
+                                 WHERE o_custkey = c_custkey
+                                   AND o_totalprice > 150000)""",
+        ),
+        "rel_window_topk": (
+            q_rel_window_topk,
+            """SELECT user_id, event_id, round(value, 6) AS value FROM events
+               QUALIFY row_number() OVER (PARTITION BY user_id
+                 ORDER BY value DESC, event_id ASC) = 1""",
+        ),
+        "rel_semijoin": (
+            q_rel_semijoin,
+            """SELECT p_partkey, p_name FROM part
+               WHERE p_size > 40 AND EXISTS (SELECT 1 FROM lineitem
+                                             WHERE l_partkey = p_partkey)""",
+        ),
+    }
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in registry().items()}
+
+
+def _materialize_ctes(sql: str) -> str:
+    """DuckDB inlines CTEs by default; the unrolled superstep chains
+    reference each round's CTE twice, which inlines to an exponential
+    plan.  ``AS MATERIALIZED`` evaluates each round once."""
+    import re
+
+    return re.sub(r"\bAS \(", "AS MATERIALIZED (", sql)
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: _materialize_ctes(sql)
+        for name, (_, sql) in registry().items()
+        if sql is not None
+    }

@@ -1,0 +1,362 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine near-dup.
+
+Scale design (the 100 TB story):
+
+- **exact**: one hash-groupBy on a 60-bit content hash — map-side
+  partial agg, AQE-sized shuffle; never compares full texts.
+- **n-gram Jaccard**: shingle → explode → self-join *on shingle* →
+  pair-count.  The shingle join is the classic inverted-index trick:
+  candidate pairs are generated only for docs sharing a shingle, so
+  work is Σ_shingle df(s)² instead of n².  Hot shingles (stopword
+  runs) are dropped by a document-frequency cap — the same skew
+  guard as the hub-vertex salting in the graph apps.
+- **MinHash + LSH**: k md5-derived hash functions → per-doc signature
+  → b bands hashed to buckets → self-join per bucket.  Candidate
+  verification re-checks true Jaccard on the candidates only.
+- **SimHash**: 60-bit sign-aggregated fingerprint; near-dups =
+  fingerprints within Hamming distance d (joined via band exact-match
+  on bit chunks).
+- **embedding cosine**: see ``similarity``; near-dup = cosine ≥ τ.
+
+All hashes are ``h60`` (md5-derived) so the DuckDB oracle reproduces
+signatures exactly; no rand(), no JVM-private hash functions in
+results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.functions.text import h60, norm_text, tokens
+
+
+# ------------------------------------------------------------- exact
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id, dup_count)`` — one representative (min id) per
+    distinct normalized content, with its group size."""
+    return (
+        df.select(F.col(id_col), h60(norm_text(F.col(text_col))).alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).cast("long").alias("dup_count"),
+        )
+        .select(id_col, "dup_count")
+    )
+
+
+# ---------------------------------------------------------- shingles
+def word_shingles(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct word n-gram shingles: ``(id, shingle string)``."""
+    toks = tokens(F.col(text_col))
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col), F.explode(shingles).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Pairs ``(id_a, id_b, jaccard)`` with n-gram Jaccard ≥ threshold
+    (id_a < id_b).  ``max_shingle_df`` drops shingles appearing in
+    more than that many docs (stop-shingle skew guard) — None keeps
+    all (exact semantics, used when an oracle must match)."""
+    sh = word_shingles(df, n, id_col, text_col)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sh = sh.persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a")
+                   .withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b")
+              .withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ----------------------------------------------------------- minhash
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 12,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(id, h0..h{k-1})`` — MinHash signature over word n-gram
+    shingles; hash family ``h_i(s) = h60(i || ':' || s)``.  Docs with
+    no shingles get the empty-set sentinel h60('∅:i')."""
+    sh = word_shingles(df, n, id_col, text_col)
+    mins = [
+        F.min(h60(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    # keep docs with no shingles (deterministic sentinel signature)
+    empty = [
+        h60(F.concat(F.lit(f"{i}:"), F.lit("∅"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    all_ids = df.select(F.col(id_col))
+    return (
+        all_ids.join(sig, id_col, "left")
+        .select(
+            id_col,
+            *[
+                F.coalesce(F.col(f"h{i}"), empty[i]).alias(f"h{i}")
+                for i in range(num_hashes)
+            ],
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct candidate pairs ``(id_a, id_b)`` sharing at least one
+    LSH band bucket (id_a < id_b).  Band bucket = h60 of the band's
+    concatenated signature slice."""
+    per_band = []
+    for b in range(bands):
+        cols = [
+            F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        bucket = h60(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        per_band.append(
+            signatures.select(
+                F.col(id_col), F.lit(b).alias("band"), bucket.alias("bucket")
+            )
+        )
+    buckets = per_band[0]
+    for p in per_band[1:]:
+        buckets = buckets.unionByName(p)
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b_ = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b_, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    num_hashes: int = 12,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: signatures → band buckets →
+    candidates → verify true Jaccard ≥ threshold on candidates only.
+    Returns ``(id_a, id_b, jaccard)``."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, n, id_col, text_col)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band, id_col)
+    sh = word_shingles(df, n, id_col, text_col).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cands.join(
+            sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a"
+        )
+        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"),
+              ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a")
+                   .withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b")
+              .withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ----------------------------------------------------------- simhash
+SIMHASH_BITS = 60
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(id, simhash long)`` — 60-bit SimHash over the token multiset
+    (term frequency weighted, the standard Charikar construction)."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("th", h60(F.col("tok")))
+    bit_sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), j).bitwiseAND(1) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long") * (2 ** j)).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    sig = bit_sums.select(F.col(id_col), fp.alias("simhash"))
+    # empty docs: simhash 0
+    return (
+        df.select(F.col(id_col))
+        .join(sig, id_col, "left")
+        .select(
+            id_col, F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")
+        )
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ ``max_hamming``
+    (id_a < id_b), found by the chunk-match trick: split the 60-bit
+    fingerprint into ``max_hamming + 1`` chunks — any pair within the
+    distance must agree exactly on at least one chunk, so candidates
+    come from equality joins on chunks, never a cross join."""
+    sig = simhash(df, id_col, text_col).persist()
+    chunks = max_hamming + 1
+    width = SIMHASH_BITS // chunks
+    parts = []
+    for ci in range(chunks):
+        chunk = F.shiftright(F.col("simhash"), ci * width).bitwiseAND(
+            (1 << width) - 1
+        )
+        parts.append(
+            sig.select(
+                F.col(id_col), F.lit(ci).alias("ci"), chunk.alias("chunk"),
+                "simhash",
+            )
+        )
+    all_chunks = parts[0]
+    for p in parts[1:]:
+        all_chunks = all_chunks.unionByName(p)
+    a = all_chunks.select(
+        F.col(id_col).alias("id_a"), "ci", "chunk",
+        F.col("simhash").alias("sh_a"),
+    )
+    b = all_chunks.select(
+        F.col(id_col).alias("id_b"), "ci", "chunk",
+        F.col("simhash").alias("sh_b"),
+    )
+    cands = (
+        a.join(b, ["ci", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    )
+    return (
+        cands.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ------------------------------------------------- embedding near-dup
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairs ``(id_a, id_b, cos)`` with cosine ≥ threshold
+    (id_a < id_b).  Brute-force pair join — the oracle-checkable
+    baseline; the LSH-bucketed scale path is
+    ``similarity.cosine_lsh_pairs``."""
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("v"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    a = v.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = v.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", dot / (F.col("na") * F.col("nb")))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

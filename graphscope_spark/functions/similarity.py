@@ -1,0 +1,208 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- ``cosine_topk``: brute-force cosine top-k of every query against the
+  corpus — the exact baseline, a broadcast-join + per-row vector math
+  in JVM expressions (``zip_with``/``aggregate``), no Python.
+- ``cosine_topk_pandas``: the same math as an Arrow-batched pandas
+  UDF using numpy matmul — the fast path when the corpus partition
+  fits a BLAS call; identical results (used for cross-checking and
+  for wide embedding columns).
+- ``cosine_lsh_pairs``: random-hyperplane LSH bucketing (deterministic
+  md5-seeded planes) — the 100 TB scale path: each vector hashes to
+  ``bands`` sign-pattern buckets, candidates come from equality joins
+  on buckets, and only candidates get exact cosine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphscope_spark.functions.text import h60
+
+
+def _as_double(vec_col: str):
+    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine: ``(query_id, vec_id, cos)``; excludes
+    self-matches; rank ties broken by ascending neighbor id on the
+    6-decimal-rounded similarity (engine-portable determinism)."""
+    c = corpus.select(
+        F.col(id_col), _as_double(vec_col).alias("v")
+    ).withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    q = queries.select(
+        F.col(query_id_col), _as_double(vec_col).alias("qv")
+    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    scored = (
+        c.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("v"), F.col("qv")) / (F.col("n") * F.col("qn")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(query_id_col, id_col, "cos")
+    )
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Arrow-batched numpy variant: queries are broadcast to every
+    corpus partition; each Arrow batch does ONE matmul against the
+    query matrix.  Same output contract as ``cosine_topk`` (top-k is
+    taken globally afterwards; the UDF only scores)."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    qm = np.array([r[1] for r in q_rows], dtype="float64")
+    qn = np.linalg.norm(qm, axis=1)
+    spark = corpus.sparkSession
+    b_ids = spark.sparkContext.broadcast(q_ids)
+    b_qm = spark.sparkContext.broadcast(qm)
+    b_qn = spark.sparkContext.broadcast(qn)
+
+    out_schema = f"{query_id_col} long, {id_col} long, cos double"
+
+    def score(batches):
+        ids, mat, norms = b_ids.value, b_qm.value, b_qn.value
+        for pdf in batches:
+            vm = np.array(list(pdf[vec_col]), dtype="float64")
+            if len(vm) == 0:
+                continue
+            vn = np.linalg.norm(vm, axis=1)
+            sims = (vm @ mat.T) / np.outer(vn, norms)
+            for qi, qid in enumerate(ids):
+                yield pd.DataFrame(
+                    {
+                        query_id_col: qid,
+                        id_col: pdf[id_col].to_numpy(),
+                        "cos": np.round(sims[:, qi], 6),
+                    }
+                )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    scored = scored.where(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(query_id_col, id_col, "cos")
+    )
+
+
+def hyperplane_signs(
+    df: DataFrame,
+    num_planes: int = 12,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(id, sig long)`` — sign pattern of the vector against
+    ``num_planes`` deterministic pseudo-random hyperplanes.  Plane
+    coefficients are ±1 derived from ``h60(p:d)`` parity — fully
+    reproducible in any engine, no stored plane matrix, and the
+    per-row work is a JVM-side expression."""
+    v = _as_double(vec_col)
+    sig = F.lit(0).cast("long")
+    for p in range(num_planes):
+        # coefficient for (plane p, dim d): +1 if h60("p:d") is odd
+        coefs = F.array(
+            *[
+                F.when(
+                    h60(F.lit(f"{p}:{d}")).bitwiseAND(1) == 1, F.lit(1.0)
+                ).otherwise(F.lit(-1.0))
+                for d in range(dim)
+            ]
+        )
+        proj = _dot(v, coefs)
+        sig = sig + F.when(proj > 0, F.lit(1).cast("long") * (2 ** p)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def cosine_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    num_planes: int = 12,
+    bands: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN near-pairs via hyperplane LSH: bucket on band sign-chunks,
+    exact cosine only on candidates.  Returns ``(id_a, id_b, cos)``
+    with cosine ≥ threshold (recall < 1 by construction; the tradeoff
+    knobs are num_planes/bands)."""
+    sigs = hyperplane_signs(df, num_planes, dim, id_col, vec_col)
+    width = num_planes // bands
+    parts = []
+    for b in range(bands):
+        chunk = F.shiftright(F.col("sig"), b * width).bitwiseAND(
+            (1 << width) - 1
+        )
+        parts.append(
+            sigs.select(F.col(id_col), F.lit(b).alias("band"),
+                        chunk.alias("bucket"))
+        )
+    buckets = parts[0]
+    for p in parts[1:]:
+        buckets = buckets.unionByName(p)
+    cands = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "bucket"])
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    v = df.select(
+        F.col(id_col), _as_double(vec_col).alias("v")
+    ).withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    return (
+        cands.join(v.select(F.col(id_col).alias("id_a"),
+                            F.col("v").alias("va"),
+                            F.col("n").alias("na")), "id_a")
+        .join(v.select(F.col(id_col).alias("id_b"),
+                       F.col("v").alias("vb"),
+                       F.col("n").alias("nb")), "id_b")
+        .withColumn(
+            "cos",
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        )
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

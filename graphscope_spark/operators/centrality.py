@@ -1,0 +1,262 @@
+"""Centrality apps: degree, eigenvector, Katz, closeness, HITS.
+
+Reference semantics:
+
+- degree_centrality — ``apps/centrality/degree/degree_centrality.h``
+  (78 LoC): ``deg(v) / (n-1)`` with ``deg`` = in, out, or in+out
+  ("both") per the ``type`` param.
+- eigenvector — ``apps/centrality/eigenvector/eigenvector_centrality.h``:
+  power iteration ``x' = A^T x`` (pull from in-neighbors; undirected =
+  neighbors), L2-normalize each round, stop when
+  ``Σ|x'-x| < n·tol`` (NetworkX semantics).
+- katz — ``apps/centrality/katz/katz_centrality.h``:
+  ``x'(v) = α·Σ_{u→v} x(u) + β``, L2-normalized at convergence,
+  ``Σ|x'-x| < n·tol``.
+- closeness — ``apps/centrality/closeness/closeness_centrality.h``:
+  ``(r-1)/Σd · (r-1)/(n-1)`` — the Wasserman-Faust improved formula
+  NetworkX uses, with r = reachable count (incoming paths on digraphs).
+- HITS — ``apps/hits/hits.h`` (205 LoC): alternating hub/authority
+  power iteration, sum-normalized per round, tolerance on hub L1 delta
+  (NetworkX semantics: normalize by max during iteration, by sum at
+  the end when ``normalized=True``).
+
+Spark shape: each is a (few-)per-round join+agg over the edge table;
+static per-vertex divisors (degrees, n) are computed once.  All state
+joins hash-partition on ``id`` so the per-round shuffles reuse the
+same partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from graphscope_spark.graph import Graph
+
+
+def degree_centrality(graph: Graph, degree_type: str = "both") -> DataFrame:
+    """``(id long, dc double)`` — deg/(n-1); ``degree_type`` in
+    {"in", "out", "both"} (reference ``degree_centrality.h:40-70``)."""
+    n = graph.vertices.count()
+    denom = float(n - 1) if n > 1 else 1.0
+    if degree_type == "in":
+        deg = graph.in_degrees().withColumnRenamed("in_degree", "deg")
+    elif degree_type == "out":
+        deg = graph.out_degrees().withColumnRenamed("out_degree", "deg")
+    elif degree_type == "both":
+        ind = graph.in_degrees()
+        outd = graph.out_degrees()
+        deg = (
+            ind.join(outd, "id")
+            .select("id", (F.col("in_degree") + F.col("out_degree")).alias("deg"))
+        )
+    else:
+        raise ValueError(f"bad degree_type {degree_type!r}")
+    return deg.select("id", (F.col("deg") / denom).alias("dc"))
+
+
+def eigenvector_centrality(
+    graph: Graph, max_iter: int = 100, tol: float = 1e-06
+) -> DataFrame:
+    """``(id long, ec double)`` — L2-normalized dominant eigenvector
+    (power iteration; NetworkX/hundred-iteration semantics)."""
+    edges = graph.edges if graph.directed else graph.symmetrized_edges()
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    n = graph.vertices.count()
+    state = graph.vertices.select("id", F.lit(1.0 / n).alias("x")).localCheckpoint(
+        eager=True
+    )
+    for it in range(max_iter):
+        msum = (
+            edges.join(state.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("x").alias("m"))
+        )
+        # x' = x + A^T x (the +x keeps periodic graphs converging, as
+        # NetworkX does); then L2 normalize
+        nxt = (
+            state.join(msum, "id", "left")
+            .select("id", (F.col("x") + F.coalesce("m", F.lit(0.0))).alias("x"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        norm = nxt.agg(F.sqrt(F.sum(F.col("x") * F.col("x")))).collect()[0][0] or 1.0
+        nxt2 = nxt.select("id", (F.col("x") / norm).alias("x"))
+        nxt2 = (nxt2.localCheckpoint(eager=True) if it % 3 == 2
+                else nxt2.persist(StorageLevel.MEMORY_AND_DISK))
+        delta = (
+            nxt2.withColumnRenamed("x", "nx")
+            .join(state, "id")
+            .agg(F.sum(F.abs(F.col("nx") - F.col("x"))))
+            .collect()[0][0]
+        )
+        state.unpersist()
+        state = nxt2
+        if delta < n * tol:
+            break
+    return state.select("id", F.col("x").alias("ec"))
+
+
+def katz_centrality(
+    graph: Graph,
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    max_iter: int = 100,
+    tol: float = 1e-06,
+) -> DataFrame:
+    """``(id long, kc double)`` — Katz with L2 normalization at the
+    end (NetworkX semantics, reference katz app)."""
+    edges = graph.edges if graph.directed else graph.symmetrized_edges()
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    n = graph.vertices.count()
+    state = graph.vertices.select("id", F.lit(0.0).alias("x")).localCheckpoint(
+        eager=True
+    )
+    for it in range(max_iter):
+        msum = (
+            edges.join(state.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("x").alias("m"))
+        )
+        nxt = (
+            state.withColumnRenamed("x", "old")
+            .join(msum, "id", "left")
+            .select(
+                "id",
+                (alpha * F.coalesce("m", F.lit(0.0)) + beta).alias("x"),
+                "old",
+            )
+        )
+        nxt = (nxt.localCheckpoint(eager=True) if it % 3 == 2
+               else nxt.persist(StorageLevel.MEMORY_AND_DISK))
+        delta = nxt.agg(F.sum(F.abs(F.col("x") - F.col("old")))).collect()[0][0]
+        state.unpersist()
+        state = nxt.select("id", "x")
+        if delta < n * tol:
+            break
+    norm = state.agg(F.sqrt(F.sum(F.col("x") * F.col("x")))).collect()[0][0] or 1.0
+    return state.select("id", (F.col("x") / norm).alias("kc"))
+
+
+def hits(
+    graph: Graph, max_iter: int = 100, tol: float = 1e-08
+) -> DataFrame:
+    """``(id long, hub double, auth double)`` — HITS with per-round
+    max-normalization and final sum-normalization (NetworkX semantics,
+    reference ``apps/hits/hits.h``)."""
+    # static inputs truncated once: without this every round's plan
+    # re-embeds the full edge-derivation lineage and the analyzed plan
+    # string grows unboundedly (OOM on explain by round ~8)
+    edges = graph.edges.select("src", "dst").localCheckpoint(eager=True)
+    verts = graph.vertices.select("id").localCheckpoint(eager=True)
+    n = verts.count()
+    hub = verts.select("id", F.lit(1.0 / n).alias("hub")).localCheckpoint(
+        eager=True
+    )
+    auth = None
+    for it in range(max_iter):
+        # auth(v) = Σ_{u→v} hub(u)
+        a = (
+            verts
+            .join(
+                edges.join(hub.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("hub").alias("auth")),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("auth", F.lit(0.0)).alias("auth"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        amax = a.agg(F.max("auth")).collect()[0][0] or 1.0
+        a = a.select("id", (F.col("auth") / amax).alias("auth"))
+        a = (a.localCheckpoint(eager=True) if it % 3 == 2
+             else a.persist(StorageLevel.MEMORY_AND_DISK))
+        # hub(u) = Σ_{u→v} auth(v)
+        h = (
+            verts
+            .join(
+                edges.join(a.withColumnRenamed("id", "dst"), "dst")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.sum("auth").alias("hub")),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("hub", F.lit(0.0)).alias("hub"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        hmax = h.agg(F.max("hub")).collect()[0][0] or 1.0
+        h = h.select("id", (F.col("hub") / hmax).alias("hub"))
+        h = (h.localCheckpoint(eager=True) if it % 3 == 2
+             else h.persist(StorageLevel.MEMORY_AND_DISK))
+        delta = (
+            h.join(hub.withColumnRenamed("hub", "old"), "id")
+            .agg(F.sum(F.abs(F.col("hub") - F.col("old"))))
+            .collect()[0][0]
+        )
+        hub.unpersist()
+        hub, auth = h, a
+        if delta < tol:
+            break
+    hsum = hub.agg(F.sum("hub")).collect()[0][0] or 1.0
+    asum = auth.agg(F.sum("auth")).collect()[0][0] or 1.0
+    return (
+        hub.select("id", (F.col("hub") / hsum).alias("hub"))
+        .join(auth.select("id", (F.col("auth") / asum).alias("auth")), "id")
+    )
+
+
+def closeness_centrality(graph: Graph, wf_improved: bool = True) -> DataFrame:
+    """``(id long, cc double)`` — Wasserman-Faust closeness over
+    incoming-path distances (NetworkX/reference semantics).
+
+    Computed by multi-source BFS flooding: state (id, source, dist)
+    seeded with every vertex at dist 0, expanded until fixpoint.  This
+    is O(n·m) worst-case — the reference pays the same; for large
+    graphs prefer sampling sources (not needed for parity).
+    """
+    # distances along REVERSED edges give incoming-path distances
+    edges = (
+        graph.reversed_edges() if graph.directed else graph.symmetrized_edges()
+    ).select("src", "dst").localCheckpoint(eager=True)
+    n = graph.vertices.count()
+    state = graph.vertices.select(
+        F.col("id").alias("source"), F.col("id"), F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = state
+    depth = 0
+    while frontier.limit(1).count() > 0:
+        depth += 1
+        cand = (
+            edges.join(
+                frontier.select(F.col("source"), F.col("id").alias("src")), "src"
+            )
+            .select("source", F.col("dst").alias("id"))
+            .distinct()
+            .join(state.select("source", "id"), ["source", "id"], "left_anti")
+            .withColumn("dist", F.lit(depth).cast("long"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        state = (
+            state.unionByName(cand)
+            .localCheckpoint(eager=True)
+            if depth % 4 == 0
+            else state.unionByName(cand).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        frontier = cand
+    # per target vertex: r = count of sources reaching it (incl. self),
+    # total = Σ dist; closeness over incoming paths
+    per_v = state.groupBy("id").agg(
+        F.count(F.lit(1)).alias("r"), F.sum("dist").alias("total")
+    )
+    if wf_improved:
+        cc = F.when(
+            F.col("total") > 0,
+            ((F.col("r") - 1) / F.col("total"))
+            * ((F.col("r") - 1) / F.lit(float(n - 1) if n > 1 else 1.0)),
+        ).otherwise(0.0)
+    else:
+        cc = F.when(
+            F.col("total") > 0, (F.col("r") - 1) / F.col("total")
+        ).otherwise(0.0)
+    return per_v.select("id", cc.alias("cc"))

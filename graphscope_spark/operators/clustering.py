@@ -1,0 +1,156 @@
+"""Clustering coefficients and k-core decomposition.
+
+Reference semantics:
+
+- LCC — ``grape::LCCOpt`` per LDBC (golden ``p2p-31-LCC``): local
+  clustering coefficient ``lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1))``
+  over the undirected simple graph, 0 when deg < 2.
+- avg_clustering — ``apps/clustering/avg_clustering.h`` (260 LoC):
+  graph-level mean of per-vertex coefficients.
+- transitivity — ``apps/clustering/transitivity.h`` (311 LoC):
+  ``3·triangles / open+closed wedges`` = ``Σ 2·tri(v) / Σ deg(v)·(deg(v)−1)``.
+- k-core — ``apps/kcore/kcore.h`` (130 LoC): iterative peeling; output
+  1 if v belongs to the k-core else 0 (``kcore_context.h:31-56``).
+- k-shell — ``apps/kshell/kshell.h`` (139 LoC): vertices in the k-core
+  but not the (k+1)-core.
+
+Spark shape: LCC reuses the degree-oriented triangle two-join (the
+orientation bounds join width to O(√m) per vertex — the same trick the
+reference uses at ``triangles.h:70-95``); k-core peeling is a loop of
+degree-filter semi-joins where each round only recomputes degrees
+inside the surviving vertex set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from graphscope_spark.graph import Graph
+from graphscope_spark.operators.triangles import triangles
+
+
+def lcc(graph: Graph) -> DataFrame:
+    """``(id long, lcc double)`` — undirected local clustering
+    coefficient, 0 for degree < 2."""
+    tri = triangles(graph)
+    deg = graph.degrees()
+    return (
+        tri.join(deg, "id")
+        .select(
+            "id",
+            F.when(
+                F.col("degree") >= 2,
+                2.0 * F.col("tricnt") / (F.col("degree") * (F.col("degree") - 1)),
+            )
+            .otherwise(0.0)
+            .alias("lcc"),
+        )
+    )
+
+
+def avg_clustering(graph: Graph) -> float:
+    """Graph-level average clustering coefficient."""
+    return lcc(graph).agg(F.avg("lcc")).collect()[0][0] or 0.0
+
+
+def transitivity(graph: Graph) -> float:
+    """``3·#triangles / #wedges`` over the undirected simple graph."""
+    tri3 = (
+        triangles(graph).agg(F.sum("tricnt")).collect()[0][0] or 0
+    )  # = 3·#triangles
+    wedges = (
+        graph.degrees()
+        .agg(F.sum(F.col("degree") * (F.col("degree") - 1)))
+        .collect()[0][0]
+        or 0
+    )
+    return (2.0 * tri3 / wedges) if wedges else 0.0
+
+
+def kcore(graph: Graph, k: int, max_iter: int = 10_000) -> DataFrame:
+    """``(id long, in_kcore int)`` — 1 if v survives k-core peeling
+    (reference ``kcore.h`` / ``kcore_context.h:31-56``)."""
+    edges = graph.symmetrized_edges().select("src", "dst").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    alive_edges = edges
+    for step in range(max_iter):
+        deg = alive_edges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        keep = deg.where(F.col("d") >= k).select("id")
+        keep = keep.localCheckpoint(eager=True) if step % 4 == 3 else keep.persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        nxt = (
+            alive_edges.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        before, after = alive_edges.count(), nxt.count()
+        alive_edges = nxt
+        if after == before:
+            break
+    core = (
+        alive_edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("in_kcore", F.lit(1))
+    )
+    return (
+        graph.vertices.select("id")
+        .join(core, "id", "left")
+        .select("id", F.coalesce("in_kcore", F.lit(0)).alias("in_kcore"))
+    )
+
+
+def kshell(graph: Graph, k: int) -> DataFrame:
+    """``(id long, in_kshell int)`` — in k-core but not (k+1)-core
+    (reference ``kshell.h``)."""
+    a = kcore(graph, k).withColumnRenamed("in_kcore", "a")
+    b = kcore(graph, k + 1).withColumnRenamed("in_kcore", "b")
+    return a.join(b, "id").select(
+        "id", ((F.col("a") == 1) & (F.col("b") == 0)).cast("int").alias("in_kshell")
+    )
+
+
+def core_numbers(graph: Graph, max_k: int | None = None) -> DataFrame:
+    """``(id long, core long)`` — full core decomposition by repeated
+    peeling with increasing k (degeneracy-bounded)."""
+    edges = graph.symmetrized_edges().select("src", "dst").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    spark = graph.vertices.sparkSession
+    result = graph.vertices.select("id", F.lit(0).cast("long").alias("core"))
+    alive = edges
+    k = 1
+    while True:
+        if max_k is not None and k > max_k:
+            break
+        # peel at level k to fixpoint
+        while True:
+            deg = alive.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("d")
+            )
+            keep = deg.where(F.col("d") >= k).select("id").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            nxt = (
+                alive.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.count() == alive.count():
+                break
+            alive = nxt
+        survivors = alive.select(F.col("src").alias("id")).distinct()
+        if survivors.limit(1).count() == 0:
+            break
+        result = (
+            result.join(survivors.withColumn("k", F.lit(k).cast("long")), "id", "left")
+            .select("id", F.coalesce("k", F.col("core")).alias("core"))
+            .localCheckpoint(eager=True)
+        )
+        k += 1
+    _ = spark  # session kept for symmetry with other apps
+    return result
