@@ -318,6 +318,254 @@ def q_rel_semijoin(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings tables)
+# --------------------------------------------------------------------
+
+# SQL mirrors of the text helpers (functions.text): h60 / norm / tokens
+_H60 = "('0x' || substr(md5({0}), 1, 15))::BIGINT"
+_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_TOKS = (
+    "CASE WHEN len(trim(text)) = 0 THEN [] "
+    f"ELSE string_split({_NORM}, ' ') END"
+)
+
+_DOC = f"""\
+toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(
+         CASE WHEN len(t) >= 3
+              THEN list_transform(range(1, len(t) - 1),
+                                  i -> array_to_string(t[i:i+2], ' '))
+              ELSE [] END)) AS shingle
+       FROM toks),
+shsz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    from graphscope_spark.functions.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(load(spark, sf_dir, "documents"))
+
+
+def q_text_stats(spark, sf_dir):
+    from graphscope_spark.functions.text import text_stats
+
+    return text_stats(load(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    from graphscope_spark.functions.text import lang_id
+
+    return lang_id(load(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from graphscope_spark.functions.text import fingerprint
+
+    return fingerprint(load(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from graphscope_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.05
+    )
+
+
+def q_minhash_lsh(spark, sf_dir):
+    from graphscope_spark.functions.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(
+        load(spark, sf_dir, "documents"),
+        num_hashes=12, bands=4, n=3, threshold=0.05,
+    )
+
+
+def q_simhash(spark, sf_dir):
+    from graphscope_spark.functions.dedup import simhash
+
+    return simhash(load(spark, sf_dir, "documents"))
+
+
+def q_embedding_topk(spark, sf_dir):
+    from graphscope_spark.functions.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, qv, k=10)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    from graphscope_spark.functions.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(load(spark, sf_dir, "embeddings"),
+                                    threshold=0.4)
+
+
+def _text_stats_sql() -> str:
+    return f"""\
+WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents)
+SELECT doc_id,
+       len(t)::BIGINT AS n_tokens,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe,
+       len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::BIGINT AS n_punct,
+       round(CASE WHEN len(t) > 0 THEN
+           list_aggregate(list_transform(t, x -> len(x)::DOUBLE), 'sum')
+             / len(t) ELSE 0.0 END, 6) AS mean_word_len,
+       round(CASE WHEN len(text) > 0 THEN
+           len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+             / len(text) ELSE 0.0 END, 6) AS punct_ratio,
+       round(
+         (CASE WHEN len(t) BETWEEN 5 AND 100000 THEN 0.5 ELSE 0.0 END)
+         + (CASE WHEN len(t) > 0 AND
+              list_aggregate(list_transform(t, x -> len(x)::DOUBLE), 'sum')
+                / len(t) BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN (CASE WHEN len(text) > 0 THEN
+              len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+                / len(text) ELSE 0.0 END) <= 0.2
+            THEN 0.2 ELSE 0.0 END)::DOUBLE, 2) AS quality
+FROM toks"""
+
+
+def _lang_id_sql() -> str:
+    from graphscope_spark.functions.text import LANG_MARKERS
+
+    hit_cols = []
+    for lang in sorted(LANG_MARKERS):
+        words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        hit_cols.append(
+            f"len(list_filter(t, x -> x IN ({words}))) AS n_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    g = "greatest(" + ", ".join(f"n_{k}" for k in langs) + ")"
+    case = f"CASE WHEN {g} = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN n_{lang} = {g} THEN '{lang}' "
+    case += "END"
+    return (
+        f"WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),\n"
+        f"hits AS (SELECT doc_id, " + ", ".join(hit_cols) + " FROM toks)\n"
+        f"SELECT doc_id, {case} AS lang_pred FROM hits"
+    )
+
+
+def _jaccard_tail(cand: str) -> str:
+    """Shared verify step: candidate pairs -> true jaccard >= 0.05."""
+    return f"""\
+inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+          FROM {cand} c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+          GROUP BY c.id_a, c.id_b)
+SELECT i.id_a, i.id_b,
+       round(i.i / (sa.sz + sb.sz - i.i), 6) AS jaccard
+FROM inter i JOIN shsz sa ON sa.doc_id = i.id_a
+JOIN shsz sb ON sb.doc_id = i.id_b
+WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.05"""
+
+
+def _ngram_jaccard_sql() -> str:
+    return (
+        "WITH " + _DOC + ",\n"
+        "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b\n"
+        "         FROM sh a JOIN sh b ON a.shingle = b.shingle\n"
+        "              AND a.doc_id < b.doc_id\n"
+        "         GROUP BY a.doc_id, b.doc_id),\n"
+        + _jaccard_tail("cand")
+    )
+
+
+def _minhash_lsh_sql(num_hashes: int = 12, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        "min(" + _H60.format(f"'{i}:' || shingle") + f") AS h{i}"
+        for i in range(num_hashes)
+    )
+    sent = ", ".join(
+        _H60.format(f"'{i}:\u2205'") + f" AS h{i}" for i in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        cat = " || ',' || ".join(
+            f"h{b * rows + r}::VARCHAR" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, "
+            + _H60.format(f"({cat})")
+            + " AS bucket FROM sigf"
+        )
+    buckets = "\n         UNION ALL ".join(band_selects)
+    return (
+        "WITH " + _DOC + ",\n"
+        f"sig AS (SELECT doc_id,\n         {mins}\n        FROM sh GROUP BY doc_id),\n"
+        f"sent AS (SELECT {sent}),\n"
+        "sigf AS (SELECT d.doc_id, "
+        + ", ".join(
+            f"coalesce(sig.h{i}, sent.h{i}) AS h{i}"
+            for i in range(num_hashes)
+        )
+        + "\n         FROM documents d LEFT JOIN sig ON sig.doc_id = d.doc_id"
+          " CROSS JOIN sent),\n"
+        f"buckets AS ({buckets}),\n"
+        "cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b\n"
+        "         FROM buckets x JOIN buckets y ON x.band = y.band\n"
+        "              AND x.bucket = y.bucket AND x.doc_id < y.doc_id),\n"
+        + _jaccard_tail("cand")
+    )
+
+
+def _simhash_sql(bits: int = 60) -> str:
+    bit_cols = ",\n         ".join(
+        f"sum(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
+        for j in range(bits)
+    )
+    return f"""\
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+th AS (SELECT doc_id, {_H60.format('tk')} AS th FROM tok),
+bits AS (SELECT doc_id,
+         {bit_cols}
+        FROM th GROUP BY doc_id),
+fp AS (SELECT doc_id, ({fp})::BIGINT AS simhash FROM bits)
+SELECT d.doc_id, coalesce(fp.simhash, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id"""
+
+
+_EMB = """\
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e)"""
+
+
+def _embedding_topk_sql(k: int = 10) -> str:
+    return f"""\
+WITH {_EMB},
+q AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM en
+      WHERE vec_id < 5),
+s AS (SELECT q.query_id, en.vec_id,
+             round(list_dot_product(en.v, q.qv) / (en.n * q.qn), 6) AS cos
+      FROM en CROSS JOIN q WHERE en.vec_id <> q.query_id)
+SELECT query_id, vec_id, cos FROM s
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos DESC, vec_id ASC) <= {k}"""
+
+
+def _embedding_near_dup_sql(threshold: float = 0.4) -> str:
+    return f"""\
+WITH {_EMB}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos
+FROM en a JOIN en b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.n * b.n) >= {threshold!r}"""
+
+
+# --------------------------------------------------------------------
 # registry: name -> (callable, oracle sql | None)
 # --------------------------------------------------------------------
 
@@ -391,6 +639,25 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
             """SELECT user_id, event_id, round(value, 6) AS value FROM events
                QUALIFY row_number() OVER (PARTITION BY user_id
                  ORDER BY value DESC, event_id ASC) = 1""",
+        ),
+        "dedup_exact": (
+            q_dedup_exact,
+            "SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM ("
+            f"SELECT doc_id, {_H60.format(_NORM)} AS h FROM documents"
+            ") GROUP BY h",
+        ),
+        "text_stats": (q_text_stats, _text_stats_sql()),
+        "lang_id": (q_lang_id, _lang_id_sql()),
+        "doc_fingerprint": (
+            q_doc_fingerprint,
+            f"SELECT doc_id, {_H60.format(_NORM)} AS fp FROM documents",
+        ),
+        "ngram_jaccard": (q_ngram_jaccard, _ngram_jaccard_sql()),
+        "minhash_lsh": (q_minhash_lsh, _minhash_lsh_sql()),
+        "simhash": (q_simhash, _simhash_sql()),
+        "embedding_topk": (q_embedding_topk, _embedding_topk_sql()),
+        "embedding_near_dup": (
+            q_embedding_near_dup, _embedding_near_dup_sql()
         ),
         "rel_semijoin": (
             q_rel_semijoin,
