@@ -40,6 +40,9 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("graphscope-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # absorb one-time JVM/codegen warmup so the first timed query is
+    # not charged ~30s of session startup
+    spark.range(1_000_000).select(F.sum("id")).collect()
     timings: dict[str, float] = {}
 
     # -- mine: synthetic code table -> dependency edges (Arrow UDF path)

@@ -244,9 +244,10 @@ def closeness_centrality(graph: Graph, wf_improved: bool = True) -> DataFrame:
             else state.unionByName(cand).persist(StorageLevel.MEMORY_AND_DISK)
         )
         frontier = cand
-    # per target vertex: r = count of sources reaching it (incl. self),
-    # total = Σ dist; closeness over incoming paths
-    per_v = state.groupBy("id").agg(
+    # the flood from origin v along reversed edges visits exactly the
+    # vertices with a path TO v, at their distance-to-v — so group by
+    # the flood origin: r = |reachers|+1 (incl. self), total = Σ dist
+    per_v = state.groupBy(F.col("source").alias("id")).agg(
         F.count(F.lit(1)).alias("r"), F.sum("dist").alias("total")
     )
     if wf_improved:

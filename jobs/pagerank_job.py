@@ -1,0 +1,149 @@
+"""spark-submit PageRank job — the ship-contract entry point
+(north rule: "the whole engine ships as spark-submit --py-files
+jobs").
+
+Usage::
+
+    spark-submit --master local[8] --py-files gs.zip \
+        jobs/pagerank_job.py --synthetic-edges 30000000 \
+        --synthetic-verts 2000000 --rounds 5 --cores 8
+
+Input: either ``--edges <parquet>`` with (src long, dst long) or a
+deterministic synthetic power-law graph generated Spark-side (no
+driver loops: ``spark.range`` + hash expressions, so generation
+itself scales with the cluster).
+
+Output: ONE JSON line with per-superstep wall times and
+edges/sec/superstep — the scored metric.  ``jobs/run_scaling.py``
+runs this at two parallelism levels and computes scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from graphscope_spark.graph import Graph  # noqa: E402
+from graphscope_spark.session import get_spark  # noqa: E402
+
+
+def synthetic_edges(spark, m: int, n: int, seed: int = 42):
+    """Deterministic power-law-ish directed graph, generated
+    distributed: src uniform over [0,n); dst = n·u³ (u uniform from a
+    hash), concentrating in-degree on low ids (hub skew like a real
+    link graph).  Self-loops dropped."""
+    e = spark.range(m).select(
+        F.pmod(F.xxhash64(F.col("id") + seed), n).alias("src"),
+        F.floor(
+            n
+            * F.pow(
+                F.pmod(F.xxhash64(F.col("id") + seed + 1), 1 << 20)
+                / float(1 << 20),
+                3.0,
+            )
+        ).cast("long").alias("dst"),
+    )
+    return e.where(F.col("src") != F.col("dst"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--edges", default=None, help="parquet path (src,dst)")
+    ap.add_argument("--synthetic-edges", type=int, default=10_000_000)
+    ap.add_argument("--synthetic-verts", type=int, default=1_000_000)
+    ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument("--cores", type=int, default=None,
+                    help="parallelism level, reporting only")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    spark = get_spark(
+        "pagerank-job", shuffle_partitions=args.shuffle_partitions
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    cores = args.cores or spark.sparkContext.defaultParallelism
+
+    t0 = time.time()
+    if args.edges:
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+    else:
+        edges = synthetic_edges(
+            spark, args.synthetic_edges, args.synthetic_verts
+        )
+    g = Graph.from_edges(edges, directed=True)
+    # materialize the hot-loop inputs once, exactly as the engine's
+    # superstep loop uses them (cached src-bucketed adjacency + degree)
+    adj = g.adjacency("out", cache=True)
+    n_edges = adj.agg(F.sum("degree")).collect()[0][0]
+    deg = g.out_degrees().withColumnRenamed("out_degree", "deg")
+    base_v = deg.withColumn("dangling", F.col("deg") == 0).persist()
+    n = base_v.count()
+    build_s = time.time() - t0
+
+    alpha = 0.85
+    state = base_v.select("id", F.lit(1.0 / n).alias("rank")).persist()
+    dangling_sum = (
+        state.join(base_v.where("dangling").select("id"), "id", "left_semi")
+        .agg(F.sum("rank")).collect()[0][0] or 0.0
+    ) * alpha
+
+    superstep_secs = []
+    for step in range(args.rounds):
+        t1 = time.time()
+        base = (1.0 - alpha) / n + dangling_sum / n
+        contribs = (
+            adj.join(state.withColumnRenamed("id", "src"), "src")
+            .select(
+                F.explode("dst_list").alias("id"),
+                (F.col("rank") / F.col("degree")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("msum"))
+        )
+        new_state = (
+            base_v.join(contribs, "id", "left")
+            .select(
+                "id",
+                (alpha * F.coalesce("msum", F.lit(0.0)) + F.lit(base)).alias(
+                    "rank"
+                ),
+                "dangling",
+            )
+            .persist()
+        )
+        row = (
+            new_state.agg(
+                F.sum("rank").alias("total"),
+                F.sum(F.when(F.col("dangling"), F.col("rank"))
+                      .otherwise(0.0)).alias("dsum"),
+            ).collect()[0]
+        )
+        dangling_sum = (row["dsum"] or 0.0) * alpha
+        state.unpersist()
+        state = new_state.select("id", "rank")
+        superstep_secs.append(time.time() - t1)
+
+    avg = sum(superstep_secs) / len(superstep_secs)
+    print(json.dumps({
+        "job": "pagerank",
+        "cores": cores,
+        "vertices": n,
+        "edges": int(n_edges),
+        "rounds": args.rounds,
+        "build_s": round(build_s, 2),
+        "superstep_secs": [round(s, 2) for s in superstep_secs],
+        "avg_superstep_s": round(avg, 3),
+        "edges_per_sec_per_superstep": round(n_edges / avg),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

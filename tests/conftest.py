@@ -13,10 +13,28 @@ def spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "6g")
         .getOrCreate()
     )
     yield s
     s.stop()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _module_cache_sweep():
+    """Drop persisted DataFrames/localCheckpoint RDDs after each test
+    module — iterative apps persist aggressively and the accumulated
+    blocks otherwise OOM the shared local JVM late in the session."""
+    yield
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        spark.catalog.clearCache()
+        sc = spark.sparkContext
+        for rdd_id in list(sc._jsc.getPersistentRDDs().keySet()):
+            try:
+                sc._jsc.sc().unpersistRDD(rdd_id, False)
+            except Exception:
+                pass
 
 
 def make_graph(spark, vertices, edges, directed=True, num_partitions=4):

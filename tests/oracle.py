@@ -252,3 +252,163 @@ def hits_oracle(
     sh = sum(h.values()) or 1.0
     sa = sum(a.values()) or 1.0
     return {v: x / sh for v, x in h.items()}, {v: x / sa for v, x in a.items()}
+
+
+def degree_centrality_oracle(
+    vertices: list[int],
+    edges: list[tuple[int, int]],
+    degree_type: str = "both",
+) -> dict[int, float]:
+    """deg/(n-1) per ``apps/centrality/degree/degree_centrality.h``."""
+    ind = {v: 0 for v in vertices}
+    outd = {v: 0 for v in vertices}
+    for u, v in edges:
+        outd[u] += 1
+        ind[v] += 1
+    n = len(vertices)
+    denom = (n - 1) if n > 1 else 1
+    pick = {
+        "in": lambda v: ind[v],
+        "out": lambda v: outd[v],
+        "both": lambda v: ind[v] + outd[v],
+    }[degree_type]
+    return {v: pick(v) / denom for v in vertices}
+
+
+def eigenvector_oracle(
+    vertices: list[int],
+    edges: list[tuple[int, int]],
+    max_iter: int = 100,
+    tol: float = 1e-06,
+    directed: bool = True,
+) -> dict[int, float]:
+    """NetworkX eigenvector_centrality: x' = x + A^T x, L2-normalized
+    per round, stop when Σ|x'-x| < n·tol."""
+    import math
+
+    if not directed:
+        es = set()
+        for u, v in edges:
+            if u != v:
+                es.add((u, v))
+                es.add((v, u))
+        edges = sorted(es)
+    n = len(vertices)
+    x = {v: 1.0 / n for v in vertices}
+    for _ in range(max_iter):
+        xlast = x
+        x = dict(xlast)
+        for u, v in edges:
+            x[v] += xlast[u]
+        norm = math.sqrt(sum(z * z for z in x.values())) or 1.0
+        x = {v: z / norm for v, z in x.items()}
+        if sum(abs(x[v] - xlast[v]) for v in vertices) < n * tol:
+            break
+    return x
+
+
+def katz_oracle(
+    vertices: list[int],
+    edges: list[tuple[int, int]],
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    max_iter: int = 100,
+    tol: float = 1e-06,
+) -> dict[int, float]:
+    import math
+
+    x = {v: 0.0 for v in vertices}
+    for _ in range(max_iter):
+        xlast = x
+        x = {v: beta for v in vertices}
+        for u, v in edges:
+            x[v] += alpha * xlast[u]
+        if sum(abs(x[v] - xlast[v]) for v in vertices) < len(vertices) * tol:
+            break
+    norm = math.sqrt(sum(z * z for z in x.values())) or 1.0
+    return {v: z / norm for v, z in x.items()}
+
+
+def closeness_oracle(
+    vertices: list[int],
+    edges: list[tuple[int, int]],
+    directed: bool = True,
+    wf_improved: bool = True,
+) -> dict[int, float]:
+    """Wasserman-Faust closeness over incoming-path distances
+    (NetworkX closeness_centrality semantics)."""
+    from collections import deque
+
+    in_adj = {v: [] for v in vertices}
+    for u, v in edges:
+        in_adj[v].append(u)
+        if not directed:
+            in_adj[u].append(v)
+    n = len(vertices)
+    out = {}
+    for t in vertices:
+        # BFS over incoming edges from t: distances of sources TO t
+        dist = {t: 0}
+        q = deque([t])
+        while q:
+            w = q.popleft()
+            for u in in_adj[w]:
+                if u not in dist:
+                    dist[u] = dist[w] + 1
+                    q.append(u)
+        total = sum(dist.values())
+        r = len(dist)
+        if total > 0:
+            cc = (r - 1) / total
+            if wf_improved:
+                cc *= (r - 1) / (n - 1 if n > 1 else 1)
+        else:
+            cc = 0.0
+        out[t] = cc
+    return out
+
+
+def avg_clustering_oracle(
+    vertices: list[int], edges: list[tuple[int, int]]
+) -> float:
+    lcc = lcc_oracle(vertices, edges)
+    return sum(lcc.values()) / len(vertices) if vertices else 0.0
+
+
+def transitivity_oracle(
+    vertices: list[int], edges: list[tuple[int, int]]
+) -> float:
+    from collections import defaultdict as dd
+
+    nbrs: dict[int, set[int]] = dd(set)
+    for u, v in edges:
+        if u != v:
+            nbrs[u].add(v)
+            nbrs[v].add(u)
+    tri = triangles_oracle(vertices, edges)
+    wedges = sum(len(nbrs[v]) * (len(nbrs[v]) - 1) for v in vertices)
+    return (2.0 * sum(tri.values()) / wedges) if wedges else 0.0
+
+
+def kshell_oracle(
+    vertices: list[int], edges: list[tuple[int, int]], k: int
+) -> dict[int, int]:
+    a = kcore_oracle(vertices, edges, k)
+    b = kcore_oracle(vertices, edges, k + 1)
+    return {v: (1 if a[v] == 1 and b[v] == 0 else 0) for v in vertices}
+
+
+def core_numbers_oracle(
+    vertices: list[int], edges: list[tuple[int, int]]
+) -> dict[int, int]:
+    core = {v: 0 for v in vertices}
+    k = 1
+    while True:
+        kc = kcore_oracle(vertices, edges, k)
+        if not any(kc.values()):
+            break
+        for v in vertices:
+            if kc[v]:
+                core[v] = k
+        k += 1
+    return core

@@ -1,0 +1,107 @@
+"""Physical-plan audit: assert the plans we ship are the plans we
+want at 100 TB.  Checks, per representative query:
+
+- parquet scans carry PushedFilters / pruned ReadSchema (no
+  read-everything scans);
+- small dimension joins are broadcast (no full shuffle of nation);
+- aggregations are two-phase (partial_ before the exchange = map-side
+  combine, the engine's analog of GAE message combining);
+- the pagerank superstep contains exactly one wide shuffle of
+  messages (Exchange on the groupBy key), with the adjacency side
+  reused from cache (InMemoryTableScan).
+
+Run: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from graphscope_spark.entry import (  # noqa: E402
+    load,
+    part_graph,
+    q_rel_join_topk,
+)
+from graphscope_spark.session import get_spark  # noqa: E402
+
+CHECKS: list[tuple[str, bool, str]] = []
+
+
+def check(name: str, ok: bool, detail: str = "") -> None:
+    CHECKS.append((name, ok, detail))
+    print(f"{'PASS' if ok else 'FAIL'}  {name}  {detail}")
+
+
+def plan_of(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("explain-audit", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # 1. filter + projection pushdown to the parquet scan
+    li = load(spark, sf_dir, "lineitem")
+    q = li.where(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    p = plan_of(q)
+    check("scan: filter pushed down", "PushedFilters: [IsNotNull(l_quantity)" in p
+          or "GreaterThan(l_quantity" in p, "")
+    check("scan: schema pruned to 2 cols",
+          "l_extendedprice" not in p.split("ReadSchema")[1][:300]
+          if "ReadSchema" in p else False, "")
+
+    # 2. broadcast join of the small dimension
+    p = plan_of(q_rel_join_topk(spark, sf_dir))
+    check("join: nation broadcast", "BroadcastHashJoin" in p, "")
+
+    # 3. partial aggregation before the exchange
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    p = plan_of(agg)
+    has_partial = "partial_sum" in p
+    check("agg: map-side combine (partial_sum)", has_partial, "")
+
+    # 4. the pagerank superstep shape: cached adjacency + single
+    #    message shuffle + partial aggregation of contributions
+    g = part_graph(spark, sf_dir)
+    adj = g.adjacency("out", cache=True)
+    adj.count()  # materialize cache
+    # state as it exists inside the loop: a materialized per-vertex df
+    # (persisted/localCheckpointed each round), not a re-derivation
+    state = g.vertices.select("id", F.lit(1.0).alias("rank")).localCheckpoint(
+        eager=True
+    )
+    contribs = (
+        adj.join(state.withColumnRenamed("id", "src"), "src")
+        .select(F.explode("dst_list").alias("id"),
+                (F.col("rank") / F.col("degree")).alias("c"))
+        .groupBy("id").agg(F.sum("c").alias("msum"))
+    )
+    p = plan_of(contribs)
+    check("superstep: adjacency read from cache",
+          "InMemoryTableScan" in p or "TableCacheQueryStage" in p, "")
+    check("superstep: partial_sum combine before shuffle",
+          "partial_sum" in p, "")
+    # count only live exchanges: the cached relation's stored build
+    # plan (everything from InMemoryRelation down) never re-executes
+    live = p.split("InMemoryRelation")[0]
+    n_live_exchanges = live.count("Exchange")
+    check("superstep: exactly one message shuffle",
+          n_live_exchanges <= 1,
+          f"live Exchange count={n_live_exchanges}")
+
+    spark.stop()
+    fails = [c for c in CHECKS if not c[1]]
+    print(f"\n{len(CHECKS) - len(fails)}/{len(CHECKS)} checks passed")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
