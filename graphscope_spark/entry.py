@@ -565,6 +565,270 @@ FROM en a JOIN en b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v) / (a.n * b.n) >= {threshold!r}"""
 
 
+def q_sssp(spark, sf_dir):
+    """Weighted SSSP from the min part key over the symmetrized
+    co-order graph; deterministic weight w(u,v) = (u+v) % 7 + 1."""
+    from graphscope_spark.operators.traversal import sssp
+
+    verts, dedges = part_edges(spark, sf_dir)
+    sym = dedges.unionByName(
+        dedges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).withColumn(
+        "weight", (F.pmod(F.col("src") + F.col("dst"), F.lit(7)) + 1).cast("double")
+    )
+    g = Graph.from_edges(sym, directed=True, vertices=verts)
+    source = verts.agg(F.min("id")).collect()[0][0]
+    return sssp(g, int(source)).select("id", "dist")
+
+
+def _sssp_sql(rounds: int = 8) -> str:
+    parts = [
+        _G,
+        "w AS (SELECT src, dst, ((src + dst) % 7 + 1)::DOUBLE AS w FROM sym)",
+        "t0 AS (SELECT (SELECT min(id) FROM verts) AS id, 0.0::DOUBLE AS dist)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"t{k + 1} AS (SELECT id, min(dist) AS dist FROM (\n"
+            f"          SELECT id, dist FROM t{k}\n"
+            f"          UNION ALL\n"
+            f"          SELECT w.dst AS id, t.dist + w.w AS dist\n"
+            f"          FROM t{k} t JOIN w ON w.src = t.id) GROUP BY id)"
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT id, dist FROM t{rounds}"
+
+
+def q_hits(spark, sf_dir):
+    from graphscope_spark.operators.centrality import hits
+
+    g = part_graph(spark, sf_dir)
+    return hits(g, max_iter=10, tol=0.0).select(
+        "id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+
+def _hits_sql(rounds: int = 10) -> str:
+    parts = [
+        _G,
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM verts)",
+        "h0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS hub FROM verts)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"ar{k} AS (SELECT v.id, coalesce(m.s, 0.0) AS auth\n"
+            f"        FROM verts v LEFT JOIN (\n"
+            f"          SELECT e.dst AS id, sum(h.hub) AS s\n"
+            f"          FROM dedges e JOIN h{k} h ON e.src = h.id"
+            f" GROUP BY e.dst) m ON m.id = v.id)"
+        )
+        parts.append(
+            f"a{k} AS (SELECT id, auth / (SELECT CASE WHEN max(auth) = 0"
+            f" THEN 1.0 ELSE max(auth) END FROM ar{k}) AS auth FROM ar{k})"
+        )
+        parts.append(
+            f"hr{k} AS (SELECT v.id, coalesce(m.s, 0.0) AS hub\n"
+            f"        FROM verts v LEFT JOIN (\n"
+            f"          SELECT e.src AS id, sum(a.auth) AS s\n"
+            f"          FROM dedges e JOIN a{k} a ON e.dst = a.id"
+            f" GROUP BY e.src) m ON m.id = v.id)"
+        )
+        parts.append(
+            f"h{k + 1} AS (SELECT id, hub / (SELECT CASE WHEN max(hub) = 0"
+            f" THEN 1.0 ELSE max(hub) END FROM hr{k}) AS hub FROM hr{k})"
+        )
+    last_a = f"a{rounds - 1}"
+    return (
+        "WITH " + ",\n".join(parts)
+        + f",\nhs AS (SELECT sum(hub) AS s FROM h{rounds}),\n"
+        f"asum AS (SELECT sum(auth) AS s FROM {last_a})\n"
+        f"SELECT h.id, round(h.hub / (SELECT s FROM hs), 6) AS hub,\n"
+        f"       round(a.auth / (SELECT s FROM asum), 6) AS auth\n"
+        f"FROM h{rounds} h JOIN {last_a} a ON a.id = h.id"
+    )
+
+
+def q_kcore(spark, sf_dir):
+    from graphscope_spark.operators.clustering import kcore
+
+    return kcore(part_graph(spark, sf_dir), k=80).select("id", "in_kcore")
+
+
+def _kcore_sql(k: int = 80, rounds: int = 20) -> str:
+    parts = [_G, "al0 AS (SELECT src, dst FROM sym)"]
+    for r in range(rounds):
+        parts.append(
+            f"kp{r} AS (SELECT src AS id FROM al{r}"
+            f" GROUP BY src HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"al{r + 1} AS (SELECT a.src, a.dst FROM al{r} a\n"
+            f"        JOIN kp{r} x ON x.id = a.src"
+            f" JOIN kp{r} y ON y.id = a.dst)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT v.id, CASE WHEN c.id IS NULL THEN 0 ELSE 1 END"
+        f" AS in_kcore\n"
+        f"FROM verts v LEFT JOIN (SELECT DISTINCT src AS id FROM al{rounds})"
+        f" c ON c.id = v.id"
+    )
+
+
+def q_khop2(spark, sf_dir):
+    """GIE PathExpand(2)/EdgeExpand demo: distinct 2-hop neighborhood
+    size per vertex over the symmetrized graph, self excluded."""
+    verts, dedges = part_edges(spark, sf_dir)
+    sym = dedges.unionByName(
+        dedges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    two = (
+        sym.alias("a")
+        .join(sym.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .where(F.col("a.src") != F.col("b.dst"))
+        .select(F.col("a.src").alias("id"), F.col("b.dst").alias("w"))
+        .distinct()
+    )
+    return two.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n2"))
+
+
+_KHOP2_SQL = """\
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+dedges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM li a JOIN li b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+sym AS (SELECT src, dst FROM dedges
+        UNION ALL SELECT dst AS src, src AS dst FROM dedges),
+two AS (SELECT DISTINCT a.src AS id, b.dst AS w
+        FROM sym a JOIN sym b ON a.dst = b.src AND a.src <> b.dst)
+SELECT id, count(*) AS n2 FROM two GROUP BY id"""
+
+
+def q_avg_clustering(spark, sf_dir):
+    from graphscope_spark.operators.clustering import avg_clustering
+
+    v = avg_clustering(part_graph(spark, sf_dir))
+    return spark.createDataFrame(
+        [(round(v, 6),)], "avg_clustering double"
+    )
+
+
+def q_transitivity(spark, sf_dir):
+    from graphscope_spark.operators.clustering import transitivity
+
+    v = transitivity(part_graph(spark, sf_dir))
+    return spark.createDataFrame([(round(v, 6),)], "transitivity double")
+
+
+def q_assortativity(spark, sf_dir):
+    from graphscope_spark.operators.misc import degree_assortativity
+
+    v = degree_assortativity(part_graph(spark, sf_dir))
+    return spark.createDataFrame([(round(v, 6),)], "assortativity double")
+
+
+def q_boundary(spark, sf_dir):
+    from graphscope_spark.operators.misc import node_boundary
+
+    g = part_graph(spark, sf_dir)
+    sset = g.vertices.where(F.col("id") % 17 == 0)
+    return node_boundary(g, sset).select("id")
+
+
+def q_kshell(spark, sf_dir):
+    from graphscope_spark.operators.clustering import kshell
+
+    return kshell(part_graph(spark, sf_dir), k=80).select("id", "in_kshell")
+
+
+def q_lpa_u2i(spark, sf_dir):
+    from graphscope_spark.operators.lpa_u2i import lpa_u2i
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    be = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("user"),
+            F.col("l_partkey").alias("item"),
+        )
+        .agg(F.sum("l_quantity").alias("weight"))
+    )
+    ulab, ilab = lpa_u2i(be, max_round=5)
+    return ulab.select(F.col("user").alias("id"), "label")
+
+
+def _kshell_sql(k: int = 80, rounds: int = 20) -> str:
+    parts = [_G]
+    for tag, kk in (("a", k), ("b", k + 1)):
+        parts.append(f"{tag}l0 AS (SELECT src, dst FROM sym)")
+        for r in range(rounds):
+            parts.append(
+                f"{tag}kp{r} AS (SELECT src AS id FROM {tag}l{r}"
+                f" GROUP BY src HAVING count(*) >= {kk})"
+            )
+            parts.append(
+                f"{tag}l{r + 1} AS (SELECT x.src, x.dst FROM {tag}l{r} x\n"
+                f"        JOIN {tag}kp{r} p ON p.id = x.src"
+                f" JOIN {tag}kp{r} q ON q.id = x.dst)"
+            )
+        parts.append(
+            f"{tag}core AS (SELECT DISTINCT src AS id FROM {tag}l{rounds})"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT v.id, CASE WHEN ac.id IS NOT NULL AND bc.id IS NULL"
+        " THEN 1 ELSE 0 END AS in_kshell\n"
+        "FROM verts v LEFT JOIN acore ac ON ac.id = v.id"
+        " LEFT JOIN bcore bc ON bc.id = v.id"
+    )
+
+
+def _lpa_u2i_sql(rounds: int = 5) -> str:
+    parts = [
+        "be AS (SELECT o_custkey AS usr, l_partkey AS item,\n"
+        "        sum(l_quantity) AS w\n"
+        "        FROM orders JOIN lineitem ON l_orderkey = o_orderkey\n"
+        "        GROUP BY o_custkey, l_partkey)",
+        "us AS (SELECT DISTINCT usr FROM be)",
+        "its AS (SELECT DISTINCT item FROM be)",
+        "u0 AS (SELECT usr, usr AS label FROM us)",
+        "i0 AS (SELECT item, item AS label FROM its)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"iw{r} AS (SELECT item, label FROM (\n"
+            f"          SELECT be.item, u.label, sum(be.w) AS tw\n"
+            f"          FROM be JOIN u{r} u ON be.usr = u.usr\n"
+            f"          GROUP BY be.item, u.label)\n"
+            f"        QUALIFY row_number() OVER (PARTITION BY item"
+            f" ORDER BY tw DESC, label ASC) = 1)"
+        )
+        parts.append(
+            f"i{r + 1} AS (SELECT i.item,"
+            f" coalesce(w.label, i.label) AS label\n"
+            f"        FROM i{r} i LEFT JOIN iw{r} w ON w.item = i.item)"
+        )
+        parts.append(
+            f"uw{r} AS (SELECT usr, label FROM (\n"
+            f"          SELECT be.usr, il.label, sum(be.w) AS tw\n"
+            f"          FROM be JOIN i{r + 1} il ON be.item = il.item\n"
+            f"          GROUP BY be.usr, il.label)\n"
+            f"        QUALIFY row_number() OVER (PARTITION BY usr"
+            f" ORDER BY tw DESC, label ASC) = 1)"
+        )
+        parts.append(
+            f"u{r + 1} AS (SELECT u.usr,"
+            f" coalesce(w.label, u.label) AS label\n"
+            f"        FROM u{r} u LEFT JOIN uw{r} w ON w.usr = u.usr)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT usr AS id, label FROM u{rounds}"
+    )
+
+
 # --------------------------------------------------------------------
 # registry: name -> (callable, oracle sql | None)
 # --------------------------------------------------------------------
@@ -640,6 +904,45 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
                QUALIFY row_number() OVER (PARTITION BY user_id
                  ORDER BY value DESC, event_id ASC) = 1""",
         ),
+        "avg_clustering": (
+            q_avg_clustering,
+            "WITH " + _G + ",\n" + _TRI
+            + "\nSELECT round(avg(CASE WHEN udeg.d >= 2 THEN"
+              " 2.0*coalesce(tric.cnt, 0)/(udeg.d*(udeg.d - 1))"
+              " ELSE 0.0 END), 6) AS avg_clustering\n"
+              "FROM verts v JOIN udeg ON udeg.id = v.id"
+              " LEFT JOIN tric ON tric.id = v.id",
+        ),
+        "transitivity": (
+            q_transitivity,
+            "WITH " + _G + ",\n" + _TRI
+            + "\nSELECT round(2.0*(SELECT sum(cnt) FROM tric)"
+              " / (SELECT sum(d*(d - 1)) FROM udeg), 6)"
+              " AS transitivity",
+        ),
+        "assortativity": (
+            q_assortativity,
+            "WITH " + _G + ",\n"
+            + "outd AS (SELECT src AS id, count(*) AS c FROM dedges"
+              " GROUP BY src),\n"
+              "ind AS (SELECT dst AS id, count(*) AS c FROM dedges"
+              " GROUP BY dst)\n"
+              "SELECT round(corr(o.c, i.c), 6) AS assortativity\n"
+              "FROM dedges e JOIN outd o ON o.id = e.src"
+              " JOIN ind i ON i.id = e.dst",
+        ),
+        "boundary": (
+            q_boundary,
+            "WITH " + _G + "\n"
+            + "SELECT DISTINCT e.dst AS id FROM sym e\n"
+              "WHERE e.src % 17 = 0 AND e.dst % 17 <> 0",
+        ),
+        "kshell": (q_kshell, _kshell_sql(80, 20)),
+        "lpa_u2i": (q_lpa_u2i, _lpa_u2i_sql(5)),
+        "sssp": (q_sssp, _sssp_sql(8)),
+        "hits": (q_hits, _hits_sql(10)),
+        "kcore": (q_kcore, _kcore_sql(80, 20)),
+        "khop2": (q_khop2, _KHOP2_SQL),
         "dedup_exact": (
             q_dedup_exact,
             "SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM ("

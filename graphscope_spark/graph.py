@@ -186,6 +186,8 @@ class Graph:
         direction: str = "out",
         cache: bool = True,
         sort_lists: bool = False,
+        salt_threshold: int | None = None,
+        salt_buckets: int = 16,
     ) -> DataFrame:
         """CSR-like adjacency: ``(src, dst_list array<long>, degree int)``.
 
@@ -197,8 +199,16 @@ class Graph:
         - ``out``  — out-neighbors of directed edges (kOnlyOut load)
         - ``in``   — in-neighbors (pull-style PageRank on digraphs)
         - ``both`` — symmetrized neighbors (kBothOutIn load)
+
+        ``salt_threshold``: hub-skew guard for the build itself —
+        ``collect_list`` has no map-side combine, so one reducer task
+        sees ALL edges of a hub vertex; at web scale a 100M-degree hub
+        stalls the stage.  Keys with degree above the threshold are
+        aggregated through the two-phase salted path
+        (``plans.skew.salted_collect_list``); everything else stays on
+        the single-shuffle fast path.
         """
-        key = ("adj", direction, sort_lists)
+        key = ("adj", direction, sort_lists, salt_threshold)
         if key in self._cache:
             return self._cache[key]
         if direction == "out":
@@ -212,10 +222,34 @@ class Graph:
         dst_list = F.collect_list("dst")
         if sort_lists:
             dst_list = F.sort_array(dst_list)
-        adj = e.groupBy("src").agg(
-            dst_list.alias("dst_list"),
-            F.count(F.lit(1)).cast("int").alias("degree"),
-        )
+        if salt_threshold is not None:
+            from graphscope_spark.plans.skew import (
+                salted_collect_list,
+                top_hub_keys,
+            )
+
+            hubs = top_hub_keys(e, "src", salt_threshold)
+            e_hub = e.join(F.broadcast(hubs), "src", "left_semi")
+            e_rest = e.join(F.broadcast(hubs), "src", "left_anti")
+            hub_adj = salted_collect_list(
+                e_hub.select("src", "dst"), "src", "dst",
+                buckets=salt_buckets, out="dst_list",
+            ).select(
+                "src",
+                (F.sort_array("dst_list") if sort_lists
+                 else F.col("dst_list")).alias("dst_list"),
+                F.size("dst_list").cast("int").alias("degree"),
+            )
+            rest_adj = e_rest.groupBy("src").agg(
+                dst_list.alias("dst_list"),
+                F.count(F.lit(1)).cast("int").alias("degree"),
+            )
+            adj = rest_adj.unionByName(hub_adj)
+        else:
+            adj = e.groupBy("src").agg(
+                dst_list.alias("dst_list"),
+                F.count(F.lit(1)).cast("int").alias("degree"),
+            )
         if self.num_partitions:
             adj = adj.repartition(self.num_partitions, "src")
         if cache:

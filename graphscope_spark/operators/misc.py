@@ -1,0 +1,146 @@
+"""Remaining second-tier apps: degree assortativity, average degree
+connectivity, node boundary, VoteRank.
+
+Reference semantics:
+
+- assortativity — ``apps/assortativity/degree_assortativity_coefficient.h``
+  (NetworkX semantics): Pearson correlation of (deg(u), deg(v)) over
+  directed edges u→v, with configurable source/target degree type
+  (out-degree at the source, in-degree at the target by default for
+  digraphs; undirected uses the full degree at both ends of both edge
+  orientations).
+- average degree connectivity — ``apps/assortativity/
+  average_degree_connectivity.h``: for each degree value k, the mean
+  degree of neighbors of vertices of degree k.
+- node boundary — ``apps/boundary/node_boundary.h``: vertices NOT in
+  S adjacent to some vertex in S.
+- VoteRank — ``apps/voterank/voterank.h`` (230 LoC, NetworkX
+  semantics): iteratively elect the highest-voted vertex; each round
+  every vertex's score = Σ voting-ability of in-neighbors; the winner
+  is removed from voting and its out-neighbors' voting ability drops
+  by 1/⟨k⟩ (floor 0).  Inherently sequential in the number of elected
+  seeds — each election is one distributed scoring pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from graphscope_spark.graph import Graph
+
+
+def degree_assortativity(graph: Graph) -> float:
+    """Pearson correlation of endpoint degrees over edges.
+
+    Directed: corr(out-deg(src), in-deg(dst)) over directed edges;
+    undirected: corr over both orientations of the symmetrized simple
+    edge set (NetworkX ``degree_assortativity_coefficient``)."""
+    if graph.directed:
+        e = graph.edges.select("src", "dst")
+        sdeg = graph.out_degrees().select(
+            F.col("id").alias("src"), F.col("out_degree").alias("ds")
+        )
+        ddeg = graph.in_degrees().select(
+            F.col("id").alias("dst"), F.col("in_degree").alias("dd")
+        )
+    else:
+        e = graph.symmetrized_edges().select("src", "dst")
+        deg = graph.degrees()
+        sdeg = deg.select(F.col("id").alias("src"), F.col("degree").alias("ds"))
+        ddeg = deg.select(F.col("id").alias("dst"), F.col("degree").alias("dd"))
+    r = (
+        e.join(sdeg, "src").join(ddeg, "dst")
+        .agg(F.corr("ds", "dd").alias("r"))
+        .collect()[0]["r"]
+    )
+    return float(r) if r is not None else 0.0
+
+
+def average_degree_connectivity(graph: Graph) -> DataFrame:
+    """``(degree long, avg_nbr_degree double)`` over the undirected
+    simple graph (reference ``average_degree_connectivity.h``)."""
+    deg = graph.degrees()
+    e = graph.symmetrized_edges().select("src", "dst")
+    pairs = (
+        e.join(deg.select(F.col("id").alias("src"),
+                          F.col("degree").alias("ds")), "src")
+        .join(deg.select(F.col("id").alias("dst"),
+                         F.col("degree").alias("dd")), "dst")
+    )
+    return pairs.groupBy(F.col("ds").alias("degree")).agg(
+        F.avg("dd").alias("avg_nbr_degree")
+    )
+
+
+def node_boundary(graph: Graph, s: DataFrame) -> DataFrame:
+    """Vertices adjacent to S but outside S: ``(id)``
+    (reference ``apps/boundary/node_boundary.h``)."""
+    sv = s.select(F.col(s.columns[0]).alias("id"))
+    e = graph.symmetrized_edges().select("src", "dst")
+    return (
+        e.join(sv.withColumnRenamed("id", "src"), "src", "left_semi")
+        .select(F.col("dst").alias("id"))
+        .distinct()
+        .join(sv, "id", "left_anti")
+    )
+
+
+def voterank(graph: Graph, num_seeds: int = 10) -> DataFrame:
+    """Top influencers by iterative voting: ``(id long, rank int)``
+    with rank 0 = first elected (reference ``voterank.h``; NetworkX
+    ``voterank`` semantics, min-id tie-break for determinism)."""
+    edges = graph.edges.select("src", "dst")
+    if not graph.directed:
+        edges = graph.symmetrized_edges().select("src", "dst")
+    edges = edges.localCheckpoint(eager=True)
+    n = graph.vertices.count()
+    m = edges.count()
+    avg_deg = (m / n) if n else 1.0
+    dampen = 1.0 / avg_deg if avg_deg else 1.0
+
+    ability = graph.vertices.select(
+        "id", F.lit(1.0).alias("va")
+    ).localCheckpoint(eager=True)
+    elected_rows: list[tuple[int, int]] = []
+    elected_ids: set[int] = set()
+    spark = graph.vertices.sparkSession
+    for rank in range(num_seeds):
+        scores = (
+            edges.join(ability.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("va").alias("score"))
+        )
+        if elected_ids:
+            banned = spark.createDataFrame(
+                [(int(i),) for i in elected_ids], "id long"
+            )
+            scores = scores.join(banned, "id", "left_anti")
+        top = scores.orderBy(F.desc("score"), F.asc("id")).limit(1).collect()
+        if not top or top[0]["score"] <= 0:
+            break
+        winner = int(top[0]["id"])
+        elected_rows.append((winner, rank))
+        elected_ids.add(winner)
+        # winner stops voting; its out-neighbors' ability -= 1/<k>
+        nbrs = edges.where(F.col("src") == winner).select(
+            F.col("dst").alias("id")
+        )
+        ability = (
+            ability.join(
+                nbrs.withColumn("hit", F.lit(True)), "id", "left"
+            )
+            .select(
+                "id",
+                F.when(F.col("id") == winner, 0.0)
+                .when(F.col("hit"),
+                      F.greatest(F.col("va") - dampen, F.lit(0.0)))
+                .otherwise(F.col("va"))
+                .alias("va"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        elected_rows or [(None, None)], "id long, rank int"
+    ).where(F.col("id").isNotNull())

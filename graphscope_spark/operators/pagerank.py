@@ -39,12 +39,26 @@ def pagerank(
     tol: float = 1e-06,
     checkpoint: CheckpointManager | None = None,
     lineage_truncate_every: int = 5,
+    message_combine: str = "map",
 ) -> DataFrame:
     """Returns ``(id long, rank double)``.
 
     ``tol <= 0`` gives the fixed-round LDBC/Graphalytics variant
     (``grape::PageRankOpt`` with ``delta=0.85, max_round=10`` pinned in
     ``test/run_app.h:342-358``) — exactly ``max_iter`` rounds.
+
+    ``message_combine`` picks the message-reduction strategy:
+
+    - ``"map"`` (default): plain ``groupBy`` — Spark's map-side
+      partial sum combines messages before the shuffle.  Wins when the
+      per-task dedup factor is high (power-law hubs combine millions
+      of messages into one entry).
+    - ``"shuffle"``: explicit ``repartition(dst)`` before the
+      aggregation, so combining happens only after the shuffle in
+      small per-partition tables.  Wins when E/V is small: the partial
+      agg's per-task hash table spans ~all vertices, blowing the cache
+      for a <2x message reduction (measured 1.3-1.6x faster and
+      better core-scaling on the 60M-edge synthetic graph).
     """
     direction = "in" if graph.directed else "both"
     # messages flow src→dst along this adjacency: for the pull-from-
@@ -86,15 +100,21 @@ def pagerank(
     for step in range(start_step, max_iter):
         t0 = time.time()
         per_vertex_base = (1.0 - alpha) / n + dangling_sum / n
-        contribs = (
+        msgs = (
             adj.join(state.withColumnRenamed("id", "src"), "src")
             .select(
                 F.explode("dst_list").alias("id"),
                 (F.col("rank") / F.col("degree")).alias("c"),
             )
-            .groupBy("id")
-            .agg(F.sum("c").alias("msum"))
         )
+        if message_combine == "shuffle":
+            n_part = int(
+                graph.vertices.sparkSession.conf.get(
+                    "spark.sql.shuffle.partitions"
+                )
+            )
+            msgs = msgs.repartition(n_part, "id")
+        contribs = msgs.groupBy("id").agg(F.sum("c").alias("msum"))
         new_state = (
             base_v.join(contribs, "id", "left")
             .select(

@@ -1,0 +1,16 @@
+"""Structured Streaming surface.
+
+The reference has NO streaming query operators (SURVEY.md §2.E:
+GAIA/GAE are batch; Groot does realtime graph *writes*, not streaming
+queries).  This package is therefore additive: the Spark-native way to
+keep a link graph and its derived state fresh as new data lands —
+incremental edge ingestion, watermarked windowed stats, and stateful
+running degrees — so the 100 TB pipeline doesn't rebuild from scratch
+per batch.
+"""
+
+from graphscope_spark.streaming.edge_stream import (  # noqa: F401
+    incremental_degrees,
+    read_edge_stream,
+    windowed_event_stats,
+)

@@ -182,3 +182,20 @@ def test_induce_subgraph_and_add_column(spark):
     assert kept == {(0, 1), (1, 2), (2, 0), (2, 3)}
     joined = g.add_column(degree_centrality(g, "out"))
     assert "dc" in joined.columns and joined.count() == len(vs)
+
+
+def test_salted_adjacency_equals_plain(spark):
+    vs, es = GRAPHS["p2p_like"]
+    g = make_graph(spark, vs, es)
+    plain = {
+        r["src"]: (sorted(r["dst_list"]), r["degree"])
+        for r in g.adjacency("out", cache=False, sort_lists=True).collect()
+    }
+    # threshold 1 routes every key through the salted two-phase path
+    salted = {
+        r["src"]: (sorted(r["dst_list"]), r["degree"])
+        for r in g.adjacency(
+            "out", cache=False, salt_threshold=1, salt_buckets=4
+        ).collect()
+    }
+    assert plain == salted

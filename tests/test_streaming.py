@@ -1,0 +1,81 @@
+"""Structured Streaming surface: incremental ingestion with
+availableNow triggers, running degrees, watermarked windows."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from graphscope_spark.streaming import (
+    incremental_degrees,
+    read_edge_stream,
+    windowed_event_stats,
+)
+from graphscope_spark.streaming.edge_stream import run_to_sink
+
+
+def _write_edge_batch(spark, path, rows):
+    spark.createDataFrame(
+        rows, "src long, dst long, event_time timestamp"
+    ).write.mode("append").parquet(path)
+
+
+def test_incremental_degrees_across_batches(spark, tmp_path):
+    src_dir = str(tmp_path / "in")
+    t = dt.datetime(2026, 1, 1, 12, 0, 0)
+    _write_edge_batch(spark, src_dir, [(1, 2, t), (1, 3, t), (2, 3, t)])
+
+    stream = read_edge_stream(spark, src_dir)
+    assert stream.isStreaming
+    q = (
+        incremental_degrees(stream)
+        .writeStream.format("memory")
+        .queryName("deg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["id"]: r["out_degree"] for r in spark.sql("SELECT * FROM deg").collect()}
+    assert got == {1: 2, 2: 1}
+
+    # second batch lands; restartable query picks up only new files
+    _write_edge_batch(spark, src_dir, [(1, 4, t), (3, 1, t)])
+    q2 = (
+        incremental_degrees(read_edge_stream(spark, src_dir))
+        .writeStream.format("memory")
+        .queryName("deg2")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    got2 = {r["id"]: r["out_degree"] for r in spark.sql("SELECT * FROM deg2").collect()}
+    assert got2 == {1: 3, 2: 1, 3: 1}
+
+
+def test_windowed_event_stats_finalize_on_watermark(spark, tmp_path):
+    src = str(tmp_path / "events")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 10, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=30), 11, "click", 2.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=1, seconds=10), 10, "view", 5.0, "{}"),
+        # a row far enough ahead to advance the watermark past window 1
+        (4, t0 + dt.timedelta(minutes=10), 12, "click", 1.5, "{}"),
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).format("parquet").load(src)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    run_to_sink(windowed_event_stats(stream), out, ck, output_mode="append")
+    res = spark.read.parquet(out)
+    rows_out = {
+        (r["window"]["start"].minute, r["event_type"]): (r["n"], r["total_value"])
+        for r in res.collect()
+    }
+    # window [12:00,12:01) click x2 and [12:01,12:02) view x1 finalized
+    assert rows_out[(0, "click")] == (2, 3.0)
+    assert rows_out[(1, "view")] == (1, 5.0)
