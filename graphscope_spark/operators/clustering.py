@@ -80,15 +80,19 @@ def kcore(graph: Graph, k: int, max_iter: int = 10_000) -> DataFrame:
         deg = alive_edges.groupBy(F.col("src").alias("id")).agg(
             F.count(F.lit(1)).alias("d")
         )
-        keep = deg.where(F.col("d") >= k).select("id")
-        keep = keep.localCheckpoint(eager=True) if step % 4 == 3 else keep.persist(
-            StorageLevel.MEMORY_AND_DISK
+        # keep MUST be lineage-truncated every round: nxt references
+        # alive_edges once directly and twice through keep, so an
+        # untruncated keep makes the logical plan grow 3^rounds
+        # (explain-string OOM by round ~6)
+        keep = deg.where(F.col("d") >= k).select("id").localCheckpoint(
+            eager=True
         )
         nxt = (
             alive_edges.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
             .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        nxt = (nxt.localCheckpoint(eager=True) if step % 3 == 2
+               else nxt.persist(StorageLevel.MEMORY_AND_DISK))
         before, after = alive_edges.count(), nxt.count()
         alive_edges = nxt
         if after == before:
@@ -132,8 +136,8 @@ def core_numbers(graph: Graph, max_k: int | None = None) -> DataFrame:
             deg = alive.groupBy(F.col("src").alias("id")).agg(
                 F.count(F.lit(1)).alias("d")
             )
-            keep = deg.where(F.col("d") >= k).select("id").persist(
-                StorageLevel.MEMORY_AND_DISK
+            keep = deg.where(F.col("d") >= k).select("id").localCheckpoint(
+                eager=True
             )
             nxt = (
                 alive.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
