@@ -829,6 +829,135 @@ def _lpa_u2i_sql(rounds: int = 5) -> str:
     )
 
 
+def q_eigenvector10(spark, sf_dir):
+    """Fixed 10 power-iteration rounds (x' = x + A^T x, L2 norm/round)
+    on the directed co-order graph."""
+    from graphscope_spark.operators.centrality import eigenvector_centrality
+
+    g = part_graph(spark, sf_dir)
+    r = eigenvector_centrality(g, max_iter=10, tol=0.0)
+    return r.select("id", F.round("ec", 6).alias("ec"))
+
+
+def _eigenvector_sql(rounds: int = 10) -> str:
+    parts = [
+        _G,
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM verts)",
+        "x0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS x FROM verts)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"r{k} AS (SELECT v.id, x.x + coalesce(m.s, 0.0) AS x\n"
+            f"        FROM verts v JOIN x{k} x ON x.id = v.id\n"
+            f"        LEFT JOIN (SELECT e.dst AS id, sum(x2.x) AS s\n"
+            f"          FROM dedges e JOIN x{k} x2 ON e.src = x2.id"
+            f" GROUP BY e.dst) m ON m.id = v.id)"
+        )
+        parts.append(
+            f"x{k + 1} AS (SELECT id, x / (SELECT sqrt(sum(x*x))"
+            f" FROM r{k}) AS x FROM r{k})"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, round(x, 6) AS ec FROM x{rounds}"
+    )
+
+
+def q_katz10(spark, sf_dir):
+    from graphscope_spark.operators.centrality import katz_centrality
+
+    g = part_graph(spark, sf_dir)
+    r = katz_centrality(g, alpha=0.005, beta=1.0, max_iter=10, tol=0.0)
+    return r.select("id", F.round("kc", 6).alias("kc"))
+
+
+def _katz_sql(rounds: int = 10, alpha: float = 0.005, beta: float = 1.0) -> str:
+    parts = [_G, "x0 AS (SELECT id, 0.0::DOUBLE AS x FROM verts)"]
+    for k in range(rounds):
+        parts.append(
+            f"x{k + 1} AS (SELECT v.id,"
+            f" {alpha!r}*coalesce(m.s, 0.0) + {beta!r} AS x\n"
+            f"        FROM verts v LEFT JOIN (\n"
+            f"          SELECT e.dst AS id, sum(x2.x) AS s\n"
+            f"          FROM dedges e JOIN x{k} x2 ON e.src = x2.id"
+            f" GROUP BY e.dst) m ON m.id = v.id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, round(x / (SELECT sqrt(sum(x*x)) FROM x{rounds}),"
+        f" 6) AS kc FROM x{rounds}"
+    )
+
+
+def q_closeness_sample(spark, sf_dir):
+    """Wasserman-Faust closeness for a source sample (id % 31 == 0) —
+    the APSP fan-out restricted so the SQL oracle stays tractable."""
+    from graphscope_spark.operators.centrality import closeness_centrality
+
+    g = part_graph(spark, sf_dir)
+    srcs = g.vertices.where(F.col("id") % 31 == 0)
+    r = closeness_centrality(g.undirected(), sources=srcs)
+    return r.select("id", F.round("cc", 6).alias("cc"))
+
+
+def _closeness_sample_sql(rounds: int = 5) -> str:
+    parts = [
+        _G,
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM verts)",
+        "srcs AS (SELECT id FROM verts WHERE id % 31 = 0)",
+        "f0 AS (SELECT id AS source, id, 0 AS dist FROM srcs)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"f{k + 1} AS (SELECT source, id, min(dist) AS dist FROM (\n"
+            f"          SELECT source, id, dist FROM f{k}\n"
+            f"          UNION ALL\n"
+            f"          SELECT f.source, e.dst AS id, f.dist + 1 AS dist\n"
+            f"          FROM f{k} f JOIN sym e ON e.src = f.id)"
+            f" GROUP BY source, id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f""",\nagg AS (SELECT source AS id, count(*) AS r,
+         sum(dist)::DOUBLE AS total FROM f{rounds} GROUP BY source)
+SELECT id, round(CASE WHEN total > 0 THEN
+         ((r - 1) / total) * ((r - 1) / ((SELECT n FROM nn) - 1.0))
+       ELSE 0.0 END, 6) AS cc FROM agg"""
+    )
+
+
+def q_voterank(spark, sf_dir):
+    """Top-10 VoteRank seeds — inherently sequential election; no SQL
+    oracle (rows-only driver check; pytest covers semantics)."""
+    from graphscope_spark.operators.misc import voterank
+
+    return voterank(part_graph(spark, sf_dir), num_seeds=10)
+
+
+def q_avg_degree_connectivity(spark, sf_dir):
+    from graphscope_spark.operators.misc import average_degree_connectivity
+
+    g = part_graph(spark, sf_dir)
+    return average_degree_connectivity(g).select(
+        "degree", F.round("avg_nbr_degree", 6).alias("avg_nbr_degree")
+    )
+
+
+def q_rel_union_intersect(spark, sf_dir):
+    """GIE Union/Intersect demo: parts sold cheap UNION parts sold in
+    quantity, INTERSECT parts above a size."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    cheap = li.where(F.col("l_extendedprice") < 1000).select(
+        F.col("l_partkey").alias("p_partkey")
+    )
+    bulk = li.where(F.col("l_quantity") >= 45).select(
+        F.col("l_partkey").alias("p_partkey")
+    )
+    big = p.where(F.col("p_size") >= 25).select("p_partkey")
+    return cheap.union(bulk).distinct().intersect(big)
+
+
 # --------------------------------------------------------------------
 # registry: name -> (callable, oracle sql | None)
 # --------------------------------------------------------------------
@@ -903,6 +1032,33 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
             """SELECT user_id, event_id, round(value, 6) AS value FROM events
                QUALIFY row_number() OVER (PARTITION BY user_id
                  ORDER BY value DESC, event_id ASC) = 1""",
+        ),
+        "eigenvector10": (q_eigenvector10, _eigenvector_sql(10)),
+        "katz10": (q_katz10, _katz_sql(10)),
+        "closeness_sample": (
+            q_closeness_sample, _closeness_sample_sql(5)
+        ),
+        "voterank": (q_voterank, None),
+        "avg_degree_connectivity": (
+            q_avg_degree_connectivity,
+            "WITH " + _G + ",\n"
+            + "udeg AS (SELECT v.id, count(e.src) AS d\n"
+              "         FROM verts v LEFT JOIN sym e ON e.src = v.id"
+              " GROUP BY v.id)\n"
+              "SELECT ds.d AS degree, round(avg(dd.d), 6)"
+              " AS avg_nbr_degree\n"
+              "FROM sym e JOIN udeg ds ON ds.id = e.src"
+              " JOIN udeg dd ON dd.id = e.dst GROUP BY ds.d",
+        ),
+        "rel_union_intersect": (
+            q_rel_union_intersect,
+            """SELECT DISTINCT p_partkey FROM (
+                 SELECT l_partkey AS p_partkey FROM lineitem
+                 WHERE l_extendedprice < 1000
+                 UNION
+                 SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)
+               INTERSECT
+               SELECT p_partkey FROM part WHERE p_size >= 25""",
         ),
         "avg_clustering": (
             q_avg_clustering,

@@ -206,21 +206,27 @@ def hits(
     )
 
 
-def closeness_centrality(graph: Graph, wf_improved: bool = True) -> DataFrame:
+def closeness_centrality(
+    graph: Graph, wf_improved: bool = True, sources: DataFrame | None = None
+) -> DataFrame:
     """``(id long, cc double)`` — Wasserman-Faust closeness over
     incoming-path distances (NetworkX/reference semantics).
 
     Computed by multi-source BFS flooding: state (id, source, dist)
     seeded with every vertex at dist 0, expanded until fixpoint.  This
     is O(n·m) worst-case — the reference pays the same; for large
-    graphs prefer sampling sources (not needed for parity).
+    graphs pass ``sources`` to flood only a sample (each source's
+    flood is independent, so the sample is exact for those vertices).
     """
     # distances along REVERSED edges give incoming-path distances
     edges = (
         graph.reversed_edges() if graph.directed else graph.symmetrized_edges()
     ).select("src", "dst").localCheckpoint(eager=True)
     n = graph.vertices.count()
-    state = graph.vertices.select(
+    seeds = graph.vertices if sources is None else sources.select(
+        F.col(sources.columns[0]).alias("id")
+    )
+    state = seeds.select(
         F.col("id").alias("source"), F.col("id"), F.lit(0).cast("long").alias("dist")
     ).localCheckpoint(eager=True)
     frontier = state
