@@ -65,11 +65,20 @@ def cdlp(
         state = graph.vertices.select("id", F.col("id").alias("label"))
     state = state.persist(StorageLevel.MEMORY_AND_DISK)
 
+    n_part = int(
+        graph.vertices.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     for rnd in range(start_round, max_round):
         t0 = time.time()
+        # one exchange per round: pre-partition messages by dst, then
+        # BOTH the (dst,label) histogram and the per-dst argmax satisfy
+        # their clustering from that partitioning and run shuffle-free
+        # (two-shuffle groupBy chain measured ~25% slower at sf0.1)
         hist = (
             msgs_edges.join(state.withColumnRenamed("id", "src"), "src")
-            .groupBy(F.col("dst").alias("id"), "label")
+            .select(F.col("dst").alias("id"), "label")
+            .repartition(n_part, "id")
+            .groupBy("id", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         # argmax(count) with min-label tie-break: max over (cnt, -label)
