@@ -364,11 +364,19 @@ def q_doc_fingerprint(spark, sf_dir):
     return fingerprint(load(spark, sf_dir, "documents"))
 
 
+#: stop-shingle document-frequency cap for the registered Jaccard
+#: query — one shingle shared by d docs creates d² candidate pairs, so
+#: an unguarded run lets a single stop-phrase blow the pair join up at
+#: scale.  The oracle applies the identical cap in SQL.
+NGRAM_MAX_SHINGLE_DF = 50
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from graphscope_spark.functions.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), n=3, threshold=0.05
+        load(spark, sf_dir, "documents"), n=3, threshold=0.05,
+        max_shingle_df=NGRAM_MAX_SHINGLE_DF,
     )
 
 
@@ -397,11 +405,21 @@ def q_embedding_topk(spark, sf_dir):
     return cosine_topk(emb, qv, k=10)
 
 
-def q_embedding_near_dup(spark, sf_dir):
-    from graphscope_spark.functions.dedup import embedding_near_dup_pairs
+#: LSH shape for the registered near-dup query: 12 hyperplanes in 4
+#: bands of 3 bits.  Candidates come from band-bucket equality joins —
+#: NO cross join anywhere in the plan (asserted by
+#: ``tools/explain_audit.py``).  Recall < 1 by construction; the
+#: oracle reproduces the identical buckets, so the compare is exact.
+NEAR_DUP_PLANES, NEAR_DUP_BANDS, NEAR_DUP_DIM = 12, 4, 64
 
-    return embedding_near_dup_pairs(load(spark, sf_dir, "embeddings"),
-                                    threshold=0.4)
+
+def q_embedding_near_dup(spark, sf_dir):
+    from graphscope_spark.functions.similarity import cosine_lsh_pairs
+
+    return cosine_lsh_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.4,
+        num_planes=NEAR_DUP_PLANES, bands=NEAR_DUP_BANDS, dim=NEAR_DUP_DIM,
+    )
 
 
 def _text_stats_sql() -> str:
@@ -452,29 +470,36 @@ def _lang_id_sql() -> str:
     )
 
 
-def _jaccard_tail(cand: str) -> str:
+def _jaccard_tail(cand: str, sh: str = "sh", shsz: str = "shsz") -> str:
     """Shared verify step: candidate pairs -> true jaccard >= 0.05."""
     return f"""\
 inter AS (SELECT c.id_a, c.id_b, count(*) AS i
           FROM {cand} c
-          JOIN sh a ON a.doc_id = c.id_a
-          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+          JOIN {sh} a ON a.doc_id = c.id_a
+          JOIN {sh} b ON b.doc_id = c.id_b AND b.shingle = a.shingle
           GROUP BY c.id_a, c.id_b)
 SELECT i.id_a, i.id_b,
        round(i.i / (sa.sz + sb.sz - i.i), 6) AS jaccard
-FROM inter i JOIN shsz sa ON sa.doc_id = i.id_a
-JOIN shsz sb ON sb.doc_id = i.id_b
+FROM inter i JOIN {shsz} sa ON sa.doc_id = i.id_a
+JOIN {shsz} sb ON sb.doc_id = i.id_b
 WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.05"""
 
 
-def _ngram_jaccard_sql() -> str:
+def _ngram_jaccard_sql(max_df: int = NGRAM_MAX_SHINGLE_DF) -> str:
+    # mirrors the Spark-side skew guard: shingles with document
+    # frequency above max_df are dropped BEFORE sizes/candidates
     return (
         "WITH " + _DOC + ",\n"
+        f"keep AS (SELECT shingle FROM sh GROUP BY shingle"
+        f" HAVING count(*) <= {max_df}),\n"
+        "shf AS (SELECT s.doc_id, s.shingle FROM sh s"
+        " JOIN keep k ON k.shingle = s.shingle),\n"
+        "shfsz AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),\n"
         "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b\n"
-        "         FROM sh a JOIN sh b ON a.shingle = b.shingle\n"
+        "         FROM shf a JOIN shf b ON a.shingle = b.shingle\n"
         "              AND a.doc_id < b.doc_id\n"
         "         GROUP BY a.doc_id, b.doc_id),\n"
-        + _jaccard_tail("cand")
+        + _jaccard_tail("cand", sh="shf", shsz="shfsz")
     )
 
 
@@ -557,11 +582,43 @@ QUALIFY row_number() OVER (PARTITION BY query_id
 
 
 def _embedding_near_dup_sql(threshold: float = 0.4) -> str:
+    """Mirrors ``similarity.cosine_lsh_pairs`` bucket-for-bucket: the
+    ±1 plane coefficients are the same driver-derived literals, and the
+    projection is the same left-to-right fold (``list_reduce``) so the
+    sign bits are bit-identical across engines."""
+    from graphscope_spark.functions.similarity import plane_coefs
+
+    coefs = plane_coefs(NEAR_DUP_PLANES, NEAR_DUP_DIM)
+    width = NEAR_DUP_PLANES // NEAR_DUP_BANDS
+    plane_cols = ", ".join(
+        "[" + ", ".join(str(c) for c in coefs[p]) + f"]::DOUBLE[] AS c{p}"
+        for p in range(NEAR_DUP_PLANES)
+    )
+    sig_terms = []
+    for p in range(NEAR_DUP_PLANES):
+        sig_terms.append(
+            f"(CASE WHEN list_reduce(list_transform(range(1, {NEAR_DUP_DIM + 1}),"
+            f" i -> v[i] * c{p}[i]), (a, b) -> a + b) > 0"
+            f" THEN (1::BIGINT << {p}) ELSE 0::BIGINT END)"
+        )
+    sig = " + ".join(sig_terms)
+    band_selects = "\n         UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band,"
+        f" (sig >> {b * width}) & {(1 << width) - 1} AS bucket FROM sig"
+        for b in range(NEAR_DUP_BANDS)
+    )
     return f"""\
-WITH {_EMB}
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+WITH {_EMB},
+pl AS (SELECT {plane_cols}),
+sig AS (SELECT vec_id, ({sig})::BIGINT AS sig FROM e CROSS JOIN pl),
+buckets AS ({band_selects}),
+cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         FROM buckets x JOIN buckets y ON x.band = y.band
+              AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+SELECT c.id_a, c.id_b,
        round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos
-FROM en a JOIN en b ON a.vec_id < b.vec_id
+FROM cand c JOIN en a ON a.vec_id = c.id_a
+JOIN en b ON b.vec_id = c.id_b
 WHERE list_dot_product(a.v, b.v) / (a.n * b.n) >= {threshold!r}"""
 
 
@@ -927,11 +984,54 @@ SELECT id, round(CASE WHEN total > 0 THEN
 
 
 def q_voterank(spark, sf_dir):
-    """Top-10 VoteRank seeds — inherently sequential election; no SQL
-    oracle (rows-only driver check; pytest covers semantics)."""
+    """Top-10 VoteRank seeds.  Elections are sequential, but each one
+    is deterministic: the winner is the max 6dp-rounded score with a
+    min-id tie-break, so the unrolled SQL oracle reproduces the exact
+    election sequence."""
     from graphscope_spark.operators.misc import voterank
 
     return voterank(part_graph(spark, sf_dir), num_seeds=10)
+
+
+def _voterank_sql(num_seeds: int = 10) -> str:
+    """Unrolled sequential elections on the directed co-order graph.
+    ``dampen = n/(2m)`` (NetworkX ⟨k⟩ counts both endpoints), ability
+    floored at 0, winner = argmax(round(score, 6)) then min id."""
+    parts = [
+        _G,
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM verts)",
+        "mm AS (SELECT count(*)::DOUBLE AS m FROM dedges)",
+        "dk AS (SELECT (SELECT n FROM nn) / (2.0 * (SELECT m FROM mm))"
+        " AS dampen)",
+        "a0 AS (SELECT id, 1.0::DOUBLE AS va FROM verts)",
+    ]
+    for r in range(num_seeds):
+        parts.append(
+            f"s{r} AS (SELECT e.dst AS id, sum(a.va) AS score\n"
+            f"        FROM dedges e JOIN a{r} a ON a.id = e.src"
+            f" GROUP BY e.dst)"
+        )
+        excl = " AND ".join(
+            f"s.id NOT IN (SELECT id FROM w{i})" for i in range(r)
+        )
+        cond = (excl + " AND " if excl else "") + "s.score > 0"
+        parts.append(
+            f"w{r} AS (SELECT s.id FROM s{r} s WHERE {cond}\n"
+            f"        ORDER BY round(s.score, 6) DESC, s.id ASC LIMIT 1)"
+        )
+        parts.append(
+            f"a{r + 1} AS (SELECT a.id, CASE\n"
+            f"          WHEN a.id = (SELECT id FROM w{r}) THEN 0.0\n"
+            f"          WHEN EXISTS (SELECT 1 FROM dedges e\n"
+            f"               WHERE e.src = (SELECT id FROM w{r})"
+            f" AND e.dst = a.id)\n"
+            f"          THEN greatest(a.va - (SELECT dampen FROM dk), 0.0)\n"
+            f"          ELSE a.va END AS va FROM a{r} a)"
+        )
+    final = "\nUNION ALL ".join(
+        f"SELECT id, {r} AS rank FROM w{r}" for r in range(num_seeds)
+    )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT id, rank::INT AS rank FROM ({final})"
 
 
 def q_avg_degree_connectivity(spark, sf_dir):
@@ -1038,7 +1138,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "closeness_sample": (
             q_closeness_sample, _closeness_sample_sql(5)
         ),
-        "voterank": (q_voterank, None),
+        "voterank": (q_voterank, _voterank_sql(10)),
         "avg_degree_connectivity": (
             q_avg_degree_connectivity,
             "WITH " + _G + ",\n"
@@ -1102,7 +1202,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "dedup_exact": (
             q_dedup_exact,
             "SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM ("
-            f"SELECT doc_id, {_H60.format(_NORM)} AS h FROM documents"
+            f"SELECT doc_id, sha256({_NORM}) AS h FROM documents"
             ") GROUP BY h",
         ),
         "text_stats": (q_text_stats, _text_stats_sql()),

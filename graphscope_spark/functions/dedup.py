@@ -37,9 +37,18 @@ def exact_dedup_groups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """``(doc_id, dup_count)`` — one representative (min id) per
-    distinct normalized content, with its group size."""
+    distinct normalized content, with its group size.
+
+    Groups on the full sha256 of the normalized text, not a 60-bit
+    hash: at 10^12 docs a 60-bit key has birthday collisions around
+    2^30 — silently merging distinct documents — while 256 bits stay
+    collision-free at any realistic corpus size.  The mining pipeline
+    already carries sha256 per row (``sources/miner.py``), so this
+    costs nothing extra at ingest."""
     return (
-        df.select(F.col(id_col), h60(norm_text(F.col(text_col))).alias("h"))
+        df.select(
+            F.col(id_col), F.sha2(norm_text(F.col(text_col)), 256).alias("h")
+        )
         .groupBy("h")
         .agg(
             F.min(id_col).alias(id_col),

@@ -18,8 +18,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from graphscope_spark.functions.text import h60
-
 
 def _as_double(vec_col: str):
     return F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -121,6 +119,19 @@ def cosine_topk_pandas(
     )
 
 
+def plane_coefs(num_planes: int, dim: int) -> list[list[float]]:
+    """±1 hyperplane coefficients, derived once on the driver from
+    ``h60("p:d")`` parity — deterministic, engine-portable (any SQL
+    engine can embed the same literal arrays), no stored plane
+    matrix."""
+    from graphscope_spark.functions.text import h60_py
+
+    return [
+        [1.0 if h60_py(f"{p}:{d}") & 1 else -1.0 for d in range(dim)]
+        for p in range(num_planes)
+    ]
+
+
 def hyperplane_signs(
     df: DataFrame,
     num_planes: int = 12,
@@ -129,23 +140,14 @@ def hyperplane_signs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """``(id, sig long)`` — sign pattern of the vector against
-    ``num_planes`` deterministic pseudo-random hyperplanes.  Plane
-    coefficients are ±1 derived from ``h60(p:d)`` parity — fully
-    reproducible in any engine, no stored plane matrix, and the
-    per-row work is a JVM-side expression."""
+    ``num_planes`` deterministic pseudo-random hyperplanes
+    (:func:`plane_coefs`); the per-row work is a JVM-side literal-array
+    dot product inside whole-stage codegen."""
+    coefs = plane_coefs(num_planes, dim)
     v = _as_double(vec_col)
     sig = F.lit(0).cast("long")
     for p in range(num_planes):
-        # coefficient for (plane p, dim d): +1 if h60("p:d") is odd
-        coefs = F.array(
-            *[
-                F.when(
-                    h60(F.lit(f"{p}:{d}")).bitwiseAND(1) == 1, F.lit(1.0)
-                ).otherwise(F.lit(-1.0))
-                for d in range(dim)
-            ]
-        )
-        proj = _dot(v, coefs)
+        proj = _dot(v, F.array(*[F.lit(c) for c in coefs[p]]))
         sig = sig + F.when(proj > 0, F.lit(1).cast("long") * (2 ** p)).otherwise(
             F.lit(0).cast("long")
         )

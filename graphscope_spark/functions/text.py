@@ -30,6 +30,15 @@ def h60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def h60_py(s: str) -> int:
+    """Driver-side twin of :func:`h60` — same value for the same
+    string, used to pre-derive deterministic constants (e.g. LSH
+    hyperplane coefficients) once in Python instead of per row."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
 def norm_text(col: Column) -> Column:
     """Lowercase, collapse whitespace, trim — the canonical form used
     by fingerprints and shingles."""

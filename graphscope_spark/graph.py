@@ -88,19 +88,46 @@ class Graph:
 
         The oid→gid dictionary mirrors ``grape::GlobalVertexMap``
         (``global_vertex_map.h:62`` packs fragment id into the gid; we
-        just need *dense, deterministic* longs, so a one-time global
-        ``row_number`` over sorted oids is used — a single sort shuffle
-        at load, never in the iterate loop).
+        just need *dense, deterministic* longs).  Scale shape: ids are
+        assigned per hash partition — within-partition ``row_number``
+        plus a cumulative partition offset (the zipWithIndex pattern) —
+        so no row ever flows through a single global-sort task.  A
+        global ``row_number().over(Window.orderBy(...))`` here would
+        serialize the whole oid dictionary (billions of rows at
+        10^12-file scale) through ONE task.  Ids are deterministic for
+        a fixed partition count (hash(oid) → partition, sorted within).
 
         Returns ``(graph, vmap)`` where ``vmap(oid string, id long)``.
         """
+        spark = edges.sparkSession
+        nparts = num_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
         oids = (
             edges.select(F.col(src_col).alias("oid"))
             .unionByName(edges.select(F.col(dst_col).alias("oid")))
             .distinct()
+            .repartition(nparts, "oid")
         )
-        vmap = oids.withColumn(
-            "id", F.row_number().over(Window.orderBy("oid")).cast("long") - 1
+        tagged = oids.withColumn("pid", F.spark_partition_id()).persist()
+        counts = {r["pid"]: r["cnt"] for r in
+                  tagged.groupBy("pid").agg(
+                      F.count(F.lit(1)).alias("cnt")).collect()}
+        offsets, acc = [], 0
+        for pid in sorted(counts):
+            offsets.append((pid, acc))
+            acc += counts[pid]
+        off_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, off long")
+        vmap = (
+            tagged.join(F.broadcast(off_df), "pid")
+            .withColumn(
+                "id",
+                (F.col("off")
+                 + F.row_number().over(
+                     Window.partitionBy("pid").orderBy("oid"))
+                 - 1).cast("long"),
+            )
+            .select("oid", "id")
         )
         e = (
             edges.join(vmap.withColumnRenamed("oid", src_col), src_col)
@@ -181,12 +208,17 @@ class Graph:
         )
 
     # ------------------------------------------------------- adjacency
+    #: auto-salt trigger: if any vertex's degree exceeds this, the
+    #: collect_list build routes hub keys through the two-phase salted
+    #: aggregation without the caller having to know about skew.
+    AUTO_SALT_DEGREE = 2_000_000
+
     def adjacency(
         self,
         direction: str = "out",
         cache: bool = True,
         sort_lists: bool = False,
-        salt_threshold: int | None = None,
+        salt_threshold: int | None | str = "auto",
         salt_buckets: int = 16,
     ) -> DataFrame:
         """CSR-like adjacency: ``(src, dst_list array<long>, degree int)``.
@@ -206,9 +238,11 @@ class Graph:
         stalls the stage.  Keys with degree above the threshold are
         aggregated through the two-phase salted path
         (``plans.skew.salted_collect_list``); everything else stays on
-        the single-shuffle fast path.
+        the single-shuffle fast path.  The default ``"auto"`` measures
+        the max degree with one map-combined aggregation and engages
+        salting only above ``AUTO_SALT_DEGREE`` — no hand-tuned knob.
         """
-        key = ("adj", direction, sort_lists, salt_threshold)
+        key = ("adj", direction, sort_lists, salt_threshold, salt_buckets)
         if key in self._cache:
             return self._cache[key]
         if direction == "out":
@@ -219,6 +253,15 @@ class Graph:
             e = self.symmetrized_edges()
         else:
             raise ValueError(f"bad direction {direction!r}")
+        if salt_threshold == "auto":
+            maxdeg = (
+                e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+                .agg(F.max("d")).collect()[0][0]
+            ) or 0
+            salt_threshold = (
+                self.AUTO_SALT_DEGREE if maxdeg > self.AUTO_SALT_DEGREE
+                else None
+            )
         dst_list = F.collect_list("dst")
         if sort_lists:
             dst_list = F.sort_array(dst_list)

@@ -91,14 +91,19 @@ def voterank(graph: Graph, num_seeds: int = 10) -> DataFrame:
     """Top influencers by iterative voting: ``(id long, rank int)``
     with rank 0 = first elected (reference ``voterank.h``; NetworkX
     ``voterank`` semantics, min-id tie-break for determinism)."""
-    edges = graph.edges.select("src", "dst")
+    edges = graph.edges.select("src", "dst").distinct()
     if not graph.directed:
         edges = graph.symmetrized_edges().select("src", "dst")
     edges = edges.localCheckpoint(eager=True)
     n = graph.vertices.count()
     m = edges.count()
-    avg_deg = (m / n) if n else 1.0
-    dampen = 1.0 / avg_deg if avg_deg else 1.0
+    # NetworkX dampening: 1/⟨k⟩ where ⟨k⟩ = Σ_v deg(v)/n counts BOTH
+    # endpoints of every edge — 2m/n for directed edge lists; the
+    # symmetrized undirected list already double-counts, so m/n there.
+    # Computed as a single division (n/denom) so the DuckDB oracle can
+    # reproduce the exact IEEE value.
+    denom = (2.0 * m) if graph.directed else float(m)
+    dampen = (n / denom) if denom else 1.0
 
     ability = graph.vertices.select(
         "id", F.lit(1.0).alias("va")
@@ -117,7 +122,13 @@ def voterank(graph: Graph, num_seeds: int = 10) -> DataFrame:
                 [(int(i),) for i in elected_ids], "id long"
             )
             scores = scores.join(banned, "id", "left_anti")
-        top = scores.orderBy(F.desc("score"), F.asc("id")).limit(1).collect()
+        # argmax on the 6dp-ROUNDED score (then min id): makes the
+        # election reproducible across engines — fp summation-order
+        # differences below 1e-6 can no longer flip the winner
+        top = (
+            scores.orderBy(F.desc(F.round("score", 6)), F.asc("id"))
+            .limit(1).collect()
+        )
         if not top or top[0]["score"] <= 0:
             break
         winner = int(top[0]["id"])

@@ -128,19 +128,29 @@ def pagerank(
         new_state = maybe_truncate_lineage(
             new_state.persist(StorageLevel.MEMORY_AND_DISK), step, lineage_truncate_every
         )
-        # single action: L1 delta + next dangling sum together
-        row = (
-            new_state.withColumnRenamed("rank", "new_rank")
-            .join(state.withColumnRenamed("rank", "old_rank"), "id")
-            .agg(
-                F.sum(F.abs(F.col("new_rank") - F.col("old_rank"))).alias("l1"),
-                F.sum(F.when(F.col("dangling"), F.col("new_rank")).otherwise(0.0)).alias(
-                    "dsum"
-                ),
+        if tol > 0:
+            # single action: L1 delta + next dangling sum together
+            row = (
+                new_state.withColumnRenamed("rank", "new_rank")
+                .join(state.withColumnRenamed("rank", "old_rank"), "id")
+                .agg(
+                    F.sum(F.abs(F.col("new_rank") - F.col("old_rank"))).alias("l1"),
+                    F.sum(
+                        F.when(F.col("dangling"), F.col("new_rank")).otherwise(0.0)
+                    ).alias("dsum"),
+                )
+                .collect()[0]
             )
-            .collect()[0]
-        )
-        l1, dangling_sum = row["l1"] or 0.0, (row["dsum"] or 0.0) * alpha
+            l1, dangling_sum = row["l1"] or 0.0, (row["dsum"] or 0.0) * alpha
+        else:
+            # fixed-round mode never reads the L1 delta — the dangling
+            # sum comes from new_state alone, skipping the |V|⋈|V| join
+            row = new_state.agg(
+                F.sum(
+                    F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)
+                ).alias("dsum")
+            ).collect()[0]
+            l1, dangling_sum = 0.0, (row["dsum"] or 0.0) * alpha
         state.unpersist()
         state = new_state.select("id", "rank")
         if checkpoint is not None:

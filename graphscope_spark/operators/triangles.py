@@ -46,25 +46,34 @@ def oriented_edges(graph: Graph) -> DataFrame:
     )
 
 
-BROADCAST_EDGE_LIMIT = 10_000_000
+#: byte budget for broadcasting the closing-edge side.  An explicit
+#: broadcast hint bypasses spark.sql.autoBroadcastJoinThreshold, so the
+#: gate must be sized in BYTES against executor/driver memory, not a
+#: row count: a (long, long) row costs ~48 B in a broadcast hash
+#: relation (two 8-B values + hash-table entry overhead).  64 MB keeps
+#: the relation comfortably inside default executor memory.
+BROADCAST_BYTES_BUDGET = 64 << 20
+EDGE_ROW_BYTES = 48
 
 
-def triangle_list(graph: Graph) -> DataFrame:
+def triangle_list(
+    graph: Graph, broadcast_bytes: int = BROADCAST_BYTES_BUDGET
+) -> DataFrame:
     """All triangles, once each, as ``(a, b, c)`` ordered by (deg,id).
 
     The closing-edge check joins the wedge set (O(Σ outdeg²), the big
     side) against the oriented edges (the small side): when the
-    oriented edge set fits a broadcast, hinting it avoids shuffling
-    the wedges entirely (measured 1.8x at sf0.1).  Past the limit the
-    shuffle join takes over — at web scale the orientation bound
-    O(m^1.5) on wedge count is what keeps that shuffle feasible.
+    oriented edge set fits the byte budget, the broadcast hint avoids
+    shuffling the wedges entirely (measured 1.8x at sf0.1).  Past the
+    budget the shuffle join takes over — at web scale the orientation
+    bound O(m^1.5) on wedge count is what keeps that shuffle feasible.
     """
     e = oriented_edges(graph).persist(StorageLevel.MEMORY_AND_DISK)
     n_edges = e.count()
     e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    if n_edges <= BROADCAST_EDGE_LIMIT:
+    if n_edges * EDGE_ROW_BYTES <= broadcast_bytes:
         e3 = F.broadcast(e3)
     return e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
 

@@ -83,8 +83,8 @@ def _voterank_oracle(vertices, edges, num_seeds):
         out_nbrs[u].append(v)
         in_nbrs[v].append(u)
     n = len(vertices)
-    avg_deg = len(edges) / n
-    dampen = 1.0 / avg_deg
+    # NetworkX ⟨k⟩ counts both endpoints of every directed edge: 2m/n
+    dampen = n / (2.0 * len(edges))
     va = {v: 1.0 for v in vertices}
     elected = []
     for _ in range(num_seeds):

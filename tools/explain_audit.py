@@ -97,6 +97,15 @@ def main() -> None:
           n_live_exchanges <= 1,
           f"live Exchange count={n_live_exchanges}")
 
+    # 5. the registered embedding near-dup is the LSH path: candidate
+    #    generation must be bucket-equality joins — a CartesianProduct
+    #    or BroadcastNestedLoopJoin here is the O(n²) anti-pattern
+    from graphscope_spark.entry import q_embedding_near_dup
+    p = plan_of(q_embedding_near_dup(spark, sf_dir))
+    check("near-dup: no cartesian/nested-loop join",
+          "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p, "")
+
     spark.stop()
     fails = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(fails)}/{len(CHECKS)} checks passed")

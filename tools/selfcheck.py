@@ -27,14 +27,17 @@ TABLES = [
 
 
 def value_hash(rows, columns):
-    """Order-insensitive: hash each row (columns sorted by name), xor."""
+    """Order-insensitive but multiplicity-preserving: hash each row
+    (columns sorted by name) and SUM mod 2^64.  XOR would cancel any
+    row occurring an even number of times, letting duplicate-pair
+    discrepancies slip through when the row counts coincide."""
     idx = sorted(range(len(columns)), key=lambda i: columns[i])
     acc = 0
     for row in rows:
         key = "|".join(repr(row[i]) for i in idx)
-        acc ^= int.from_bytes(
+        acc = (acc + int.from_bytes(
             hashlib.sha256(key.encode()).digest()[:8], "big"
-        )
+        )) % (1 << 64)
     return acc
 
 
