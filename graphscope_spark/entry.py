@@ -627,14 +627,8 @@ def q_sssp(spark, sf_dir):
     co-order graph; deterministic weight w(u,v) = (u+v) % 7 + 1."""
     from graphscope_spark.operators.traversal import sssp
 
-    verts, dedges = part_edges(spark, sf_dir)
-    sym = dedges.unionByName(
-        dedges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).withColumn(
-        "weight", (F.pmod(F.col("src") + F.col("dst"), F.lit(7)) + 1).cast("double")
-    )
-    g = Graph.from_edges(sym, directed=True, vertices=verts)
-    source = verts.agg(F.min("id")).collect()[0][0]
+    g = _weighted_sym_graph(spark, sf_dir)
+    source = g.vertices.agg(F.min("id")).collect()[0][0]
     return sssp(g, int(source)).select("id", "dist")
 
 
@@ -653,6 +647,167 @@ def _sssp_sql(rounds: int = 8) -> str:
             f"          FROM t{k} t JOIN w ON w.src = t.id) GROUP BY id)"
         )
     return "WITH " + ",\n".join(parts) + f"\nSELECT id, dist FROM t{rounds}"
+
+
+def _weighted_sym_graph(spark, sf_dir) -> Graph:
+    """Symmetrized co-order graph with the deterministic weight
+    w(u,v) = (u+v) % 7 + 1 (same construction as ``q_sssp``)."""
+    verts, dedges = part_edges(spark, sf_dir)
+    sym = dedges.unionByName(
+        dedges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).withColumn(
+        "weight",
+        (F.pmod(F.col("src") + F.col("dst"), F.lit(7)) + 1).cast("double"),
+    )
+    return Graph.from_edges(sym, directed=True, vertices=verts)
+
+
+def q_sssp_path(spark, sf_dir):
+    """Shortest-path tree (id, pred, dist) from the min part key —
+    reference ``apps/sssp/sssp_path.h`` row convention."""
+    from graphscope_spark.operators.traversal import sssp_path
+
+    g = _weighted_sym_graph(spark, sf_dir)
+    source = g.vertices.agg(F.min("id")).collect()[0][0]
+    return sssp_path(g, int(source)).select("id", "pred", "dist")
+
+
+def _sssp_path_sql(rounds: int = 8) -> str:
+    base = _sssp_sql(rounds)  # ends with "SELECT id, dist FROM t{rounds}"
+    prefix = base.rsplit("\nSELECT", 1)[0]
+    return (
+        prefix
+        + f""",
+pred AS (SELECT w.dst AS id, min(w.src) AS pred
+         FROM w JOIN t{rounds} a ON a.id = w.src
+         JOIN t{rounds} b ON b.id = w.dst
+         WHERE a.dist + w.w = b.dist GROUP BY w.dst)
+SELECT t.id,
+       CASE WHEN t.id = (SELECT min(id) FROM verts) THEN NULL
+            ELSE p.pred END AS pred,
+       t.dist
+FROM t{rounds} t LEFT JOIN pred p ON p.id = t.id"""
+    )
+
+
+def q_sssp_has_path(spark, sf_dir):
+    """Reachability probe on the DIRECTED co-order graph: min→max
+    (expected reachable — edges point low→high) and max→min (expected
+    not).  Two rows (src, dst, has_path)."""
+    from graphscope_spark.operators.traversal import sssp_has_path
+
+    g = part_graph(spark, sf_dir)
+    lo, hi = g.vertices.agg(F.min("id"), F.max("id")).collect()[0]
+    rows = [
+        (int(lo), int(hi), bool(sssp_has_path(g, int(lo), int(hi)))),
+        (int(hi), int(lo), bool(sssp_has_path(g, int(hi), int(lo)))),
+    ]
+    return spark.createDataFrame(
+        rows, "src long, dst long, has_path boolean"
+    )
+
+
+def _sssp_has_path_sql(rounds: int = 10) -> str:
+    parts = [
+        _G,
+        "lo AS (SELECT min(id) AS v FROM verts)",
+        "hi AS (SELECT max(id) AS v FROM verts)",
+        "f0 AS (SELECT v AS id FROM lo)",
+        "g0 AS (SELECT v AS id FROM hi)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"f{k + 1} AS (SELECT DISTINCT id FROM (\n"
+            f"          SELECT id FROM f{k}\n"
+            f"          UNION ALL\n"
+            f"          SELECT e.dst AS id FROM f{k} r"
+            f" JOIN dedges e ON e.src = r.id))"
+        )
+        parts.append(
+            f"g{k + 1} AS (SELECT DISTINCT id FROM (\n"
+            f"          SELECT id FROM g{k}\n"
+            f"          UNION ALL\n"
+            f"          SELECT e.dst AS id FROM g{k} r"
+            f" JOIN dedges e ON e.src = r.id))"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT (SELECT v FROM lo) AS src, (SELECT v FROM hi) AS dst,
+       EXISTS (SELECT 1 FROM f{rounds}
+               WHERE id = (SELECT v FROM hi)) AS has_path
+UNION ALL
+SELECT (SELECT v FROM hi), (SELECT v FROM lo),
+       EXISTS (SELECT 1 FROM g{rounds}
+               WHERE id = (SELECT v FROM lo))"""
+    )
+
+
+def q_apsp_sample(spark, sf_dir):
+    """Unweighted all-pairs shortest path lengths restricted to the
+    source sample id % 31 == 0 (exact per source) — reference
+    ``apps/apsp/all_pairs_shortest_path_length.h``."""
+    from graphscope_spark.operators.traversal import apsp_lengths
+
+    g = part_graph_undirected(spark, sf_dir)
+    srcs = g.vertices.where(F.col("id") % 31 == 0)
+    return apsp_lengths(g, sources=srcs).select("source", "id", "dist")
+
+
+def _apsp_sample_sql(rounds: int = 5) -> str:
+    parts = [
+        _G,
+        "srcs AS (SELECT id FROM verts WHERE id % 31 = 0)",
+        "f0 AS (SELECT id AS source, id, 0 AS dist FROM srcs)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"f{k + 1} AS (SELECT source, id, min(dist) AS dist FROM (\n"
+            f"          SELECT source, id, dist FROM f{k}\n"
+            f"          UNION ALL\n"
+            f"          SELECT f.source, e.dst AS id, f.dist + 1 AS dist\n"
+            f"          FROM f{k} f JOIN sym e ON e.src = f.id)"
+            f" GROUP BY source, id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT source, id, dist::BIGINT AS dist FROM f{rounds}"
+    )
+
+
+def q_sssp_avg_length(spark, sf_dir):
+    """Mean weighted shortest-path length over the source sample
+    id % 31 == 0 (self-pairs excluded) — reference
+    ``apps/sssp/sssp_average_length.h`` semantics on a sample."""
+    from graphscope_spark.operators.traversal import sssp_average_length
+
+    g = _weighted_sym_graph(spark, sf_dir)
+    srcs = g.vertices.where(F.col("id") % 31 == 0)
+    v = sssp_average_length(g, sources=srcs)
+    return spark.createDataFrame([(round(v, 6),)], "avg_length double")
+
+
+def _sssp_avg_length_sql(rounds: int = 8) -> str:
+    parts = [
+        _G,
+        "w AS (SELECT src, dst, ((src + dst) % 7 + 1)::DOUBLE AS w FROM sym)",
+        "srcs AS (SELECT id FROM verts WHERE id % 31 = 0)",
+        "t0 AS (SELECT id AS source, id, 0.0::DOUBLE AS dist FROM srcs)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"t{k + 1} AS (SELECT source, id, min(dist) AS dist FROM (\n"
+            f"          SELECT source, id, dist FROM t{k}\n"
+            f"          UNION ALL\n"
+            f"          SELECT t.source, w.dst AS id, t.dist + w.w AS dist\n"
+            f"          FROM t{k} t JOIN w ON w.src = t.id)"
+            f" GROUP BY source, id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT round(avg(dist), 6) AS avg_length FROM t{rounds}"
+        f" WHERE source <> id"
+    )
 
 
 def q_hits(spark, sf_dir):
@@ -1196,6 +1351,10 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "kshell": (q_kshell, _kshell_sql(80, 20)),
         "lpa_u2i": (q_lpa_u2i, _lpa_u2i_sql(5)),
         "sssp": (q_sssp, _sssp_sql(8)),
+        "sssp_path": (q_sssp_path, _sssp_path_sql(8)),
+        "sssp_has_path": (q_sssp_has_path, _sssp_has_path_sql(10)),
+        "sssp_avg_length": (q_sssp_avg_length, _sssp_avg_length_sql(8)),
+        "apsp_sample": (q_apsp_sample, _apsp_sample_sql(5)),
         "hits": (q_hits, _hits_sql(10)),
         "kcore": (q_kcore, _kcore_sql(80, 20)),
         "khop2": (q_khop2, _KHOP2_SQL),

@@ -146,3 +146,193 @@ def sssp(
         if changed == 0:
             break
     return state
+
+
+def sssp_path(
+    graph: Graph,
+    source: int,
+    weight_col: str = "weight",
+    max_iter: int = 10_000,
+    symmetrize: bool = False,
+) -> DataFrame:
+    """Shortest-path TREE from ``source``: ``(id long, pred long,
+    dist double)`` — reference ``apps/sssp/sssp_path.h`` (174 LoC)
+    emits one ``[predecessor, node, sssp_length]`` row per reached
+    vertex.
+
+    The predecessor is derived in ONE post-pass after the distance
+    fixpoint: ``pred(v) = min{u : u→v ∧ dist(u)+w(u,v) = dist(v)}``
+    (min-id tie-break ⇒ deterministic tree, exactly reproducible by a
+    SQL oracle).  No per-superstep predecessor bookkeeping — the
+    iterate loop stays the plain distance flood.  The equality test is
+    exact when weights are integer-valued doubles (sums stay exact in
+    fp64), which is the engine's convention for derived weights.
+    ``pred`` is NULL for the source itself.
+    """
+    e = graph.symmetrized_edges(dedup=False) if symmetrize else graph.edges
+    if weight_col not in e.columns:
+        e = e.withColumn(weight_col, F.lit(1.0))
+    edges = e.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
+    dist = sssp(graph, source, weight_col, max_iter, symmetrize)
+    du = dist.select(F.col("id").alias("src"), F.col("dist").alias("du"))
+    dv = dist.select(F.col("id").alias("id"), "dist")
+    pred = (
+        edges.join(du, "src")
+        .join(dv, edges.dst == dv.id)
+        .where(F.col("du") + F.col("w") == F.col("dist"))
+        .groupBy("id")
+        .agg(F.min("src").alias("pred"))
+    )
+    return (
+        dist.join(pred, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("id") == source, F.lit(None).cast("long"))
+            .otherwise(F.col("pred")).alias("pred"),
+            "dist",
+        )
+    )
+
+
+def sssp_has_path(
+    graph: Graph,
+    source: int,
+    target: int,
+    max_iter: int = 10_000,
+    symmetrize: bool = False,
+) -> bool:
+    """True iff a directed path source→target exists (reference
+    ``apps/sssp/sssp_has_path.h`` (157 LoC): BFS over unweighted
+    reachability).  Frontier loop with early exit the superstep the
+    target is reached — never floods past the target's level."""
+    if int(source) == int(target):
+        return True
+    edges = (graph.symmetrized_edges() if symmetrize else graph.edges).select(
+        "src", "dst"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    spark = graph.vertices.sparkSession
+    state = spark.createDataFrame([(int(source),)], "id long")
+    frontier = state
+    for _ in range(max_iter):
+        cand = (
+            edges.join(frontier.withColumnRenamed("id", "src").select("src"),
+                       "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(state, "id", "left_anti")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        hit = cand.where(F.col("id") == int(target)).limit(1).count()
+        if hit:
+            return True
+        if cand.limit(1).count() == 0:
+            return False
+        state = state.unionByName(cand).persist(StorageLevel.MEMORY_AND_DISK)
+        frontier = cand
+    return False
+
+
+def multi_source_sssp(
+    graph: Graph,
+    sources: DataFrame,
+    weight_col: str = "weight",
+    max_iter: int = 10_000,
+    symmetrize: bool = False,
+) -> DataFrame:
+    """Weighted distances from every source at once: ``(source long,
+    id long, dist double)``, reached pairs only.
+
+    One frontier-driven Bellman-Ford keyed on (source, id) — the
+    backbone for APSP (``apps/apsp/all_pairs_shortest_path_length.h``,
+    144 LoC) and average-path-length; each source's flood is exact and
+    independent, so running a source SAMPLE gives exact rows for those
+    sources.  Messages min-combine map-side per (source, dst) — the
+    shuffle stays one per superstep regardless of the source count.
+    """
+    e = graph.symmetrized_edges(dedup=False) if symmetrize else graph.edges
+    if weight_col not in e.columns:
+        e = e.withColumn(weight_col, F.lit(1.0))
+    edges = e.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
+    if graph.num_partitions:
+        edges = edges.repartition(graph.num_partitions, "src")
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+
+    state = sources.select(
+        F.col(sources.columns[0]).cast("long").alias("source")
+    ).select("source", F.col("source").alias("id"),
+             F.lit(0.0).alias("dist"))
+    state = state.persist(StorageLevel.MEMORY_AND_DISK)
+    frontier = state
+    for step in range(max_iter):
+        cand = (
+            edges.join(frontier.withColumnRenamed("id", "src"), "src")
+            .groupBy("source", F.col("dst").alias("id"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+        )
+        merged = (
+            state.withColumnRenamed("dist", "old")
+            .join(cand, ["source", "id"], "full")
+            .select(
+                "source", "id",
+                F.least(
+                    F.coalesce("old", F.lit(float("inf"))),
+                    F.coalesce("cand", F.lit(float("inf"))),
+                ).alias("dist"),
+                "old",
+            )
+        )
+        merged = maybe_truncate_lineage(
+            merged.persist(StorageLevel.MEMORY_AND_DISK), step, 4
+        )
+        new_frontier = merged.where(
+            F.col("old").isNull() | (F.col("dist") < F.col("old"))
+        ).select("source", "id", "dist").persist(StorageLevel.MEMORY_AND_DISK)
+        changed = new_frontier.count()
+        state.unpersist()
+        if frontier is not state:
+            frontier.unpersist()
+        state = merged.select("source", "id", "dist")
+        frontier = new_frontier
+        if changed == 0:
+            break
+    return state
+
+
+def sssp_average_length(
+    graph: Graph,
+    sources: DataFrame | None = None,
+    weight_col: str = "weight",
+    symmetrize: bool = False,
+) -> float:
+    """Mean shortest-path length over reached (source, target) pairs,
+    self-pairs excluded — reference ``apps/sssp/sssp_average_length.h``
+    (260 LoC) averages all-pairs SSSP lengths.  Pass ``sources`` to
+    average over a source sample (exact for those sources)."""
+    seeds = graph.vertices if sources is None else sources
+    d = multi_source_sssp(graph, seeds.select(seeds.columns[0]),
+                          weight_col, symmetrize=symmetrize)
+    row = (
+        d.where(F.col("source") != F.col("id"))
+        .agg(F.avg("dist").alias("avg"))
+        .collect()[0]
+    )
+    return float(row["avg"]) if row["avg"] is not None else 0.0
+
+
+def apsp_lengths(
+    graph: Graph,
+    sources: DataFrame | None = None,
+    symmetrize: bool = False,
+) -> DataFrame:
+    """Unweighted all-pairs shortest path lengths ``(source, id,
+    dist long)`` (reference ``all_pairs_shortest_path_length.h:144``:
+    per-source BFS depth).  ``sources`` restricts to a sample row-set;
+    each flood is exact for its source."""
+    seeds = graph.vertices if sources is None else sources
+    d = multi_source_sssp(
+        graph,
+        seeds.select(seeds.columns[0]),
+        weight_col="__hop__",
+        symmetrize=symmetrize,
+    )
+    return d.select("source", "id", F.col("dist").cast("long").alias("dist"))
