@@ -1138,6 +1138,77 @@ SELECT id, round(CASE WHEN total > 0 THEN
     )
 
 
+def q_betweenness_sample(spark, sf_dir):
+    """Brandes betweenness over the undirected co-order graph for the
+    source sample id % 97 == 0 (exact per source, unnormalized,
+    undirected double-count halved)."""
+    from graphscope_spark.operators.betweenness import betweenness_centrality
+
+    g = part_graph_undirected(spark, sf_dir)
+    srcs = g.vertices.where(F.col("id") % 97 == 0)
+    r = betweenness_centrality(g, sources=srcs, normalized=False)
+    return r.select("id", F.round("bc", 6).alias("bc"))
+
+
+def _betweenness_sample_sql(levels: int = 6) -> str:
+    """Unrolled Brandes: forward BFS levels with sigma, then backward
+    dependency accumulation over the same level tables.  ``levels``
+    must cover the eccentricity of every sampled source (convergence
+    asserted by tests/test_oracle_convergence.py)."""
+    parts = [
+        _G,
+        "srcs AS (SELECT id FROM verts WHERE id % 97 = 0)",
+        "lv0 AS (SELECT id AS source, id, 1.0::DOUBLE AS sigma FROM srcs)",
+        "vis0 AS (SELECT source, id FROM lv0)",
+    ]
+    for k in range(1, levels + 1):
+        parts.append(
+            f"cv{k} AS (SELECT f.source, e.dst AS id, sum(f.sigma)"
+            f" AS sigma\n"
+            f"        FROM lv{k - 1} f JOIN sym e ON e.src = f.id\n"
+            f"        GROUP BY f.source, e.dst)"
+        )
+        parts.append(
+            f"lv{k} AS (SELECT c.source, c.id, c.sigma FROM cv{k} c\n"
+            f"        LEFT JOIN vis{k - 1} v ON v.source = c.source"
+            f" AND v.id = c.id\n"
+            f"        WHERE v.id IS NULL)"
+        )
+        parts.append(
+            f"vis{k} AS (SELECT source, id FROM vis{k - 1}\n"
+            f"        UNION ALL SELECT source, id FROM lv{k})"
+        )
+    parts.append(
+        f"d{levels} AS (SELECT source, id, sigma, 0.0::DOUBLE AS delta"
+        f" FROM lv{levels})"
+    )
+    for k in range(levels, 0, -1):
+        parts.append(
+            f"ct{k} AS (SELECT w.source, p.id,\n"
+            f"          sum(p.sigma / w.sigma * (1.0 + w.delta)) AS contrib\n"
+            f"        FROM d{k} w JOIN sym e ON e.dst = w.id\n"
+            f"        JOIN lv{k - 1} p ON p.source = w.source"
+            f" AND p.id = e.src\n"
+            f"        GROUP BY w.source, p.id)"
+        )
+        parts.append(
+            f"d{k - 1} AS (SELECT p.source, p.id, p.sigma,\n"
+            f"          coalesce(c.contrib, 0.0) AS delta\n"
+            f"        FROM lv{k - 1} p LEFT JOIN ct{k} c"
+            f" ON c.source = p.source AND c.id = p.id)"
+        )
+    alld = "\n        UNION ALL ".join(
+        f"SELECT id, delta FROM d{k}" for k in range(1, levels + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f",\nalld AS ({alld})\n"
+        "SELECT v.id, round(coalesce(s.b, 0.0) / 2.0, 6) AS bc\n"
+        "FROM verts v LEFT JOIN (SELECT id, sum(delta) AS b FROM alld"
+        " GROUP BY id) s ON s.id = v.id"
+    )
+
+
 def q_voterank(spark, sf_dir):
     """Top-10 VoteRank seeds.  Elections are sequential, but each one
     is deterministic: the winner is the max 6dp-rounded score with a
@@ -1292,6 +1363,9 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "katz10": (q_katz10, _katz_sql(10)),
         "closeness_sample": (
             q_closeness_sample, _closeness_sample_sql(5)
+        ),
+        "betweenness_sample": (
+            q_betweenness_sample, _betweenness_sample_sql(6)
         ),
         "voterank": (q_voterank, _voterank_sql(10)),
         "avg_degree_connectivity": (
