@@ -915,6 +915,53 @@ two AS (SELECT DISTINCT a.src AS id, b.dst AS w
 SELECT id, count(*) AS n2 FROM two GROUP BY id"""
 
 
+def q_clustering_directed(spark, sf_dir):
+    """Directed clustering coefficient (Fagiolo) on the co-order graph
+    augmented with reversed arcs for pairs with (src+dst) % 3 == 0 —
+    the reversals create reciprocal pairs so the d_rec / w=2 terms of
+    ``apps/clustering/clustering.h`` are actually exercised."""
+    from graphscope_spark.operators.clustering import directed_clustering
+
+    verts, dedges = part_edges(spark, sf_dir)
+    rev = dedges.where((F.col("src") + F.col("dst")) % 3 == 0).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    g = Graph.from_edges(dedges.unionByName(rev), directed=True,
+                         vertices=verts)
+    return directed_clustering(g).select(
+        "id", F.round("cc", 6).alias("cc")
+    )
+
+
+_CLUSTERING_DIRECTED_SQL = (
+    "WITH " + _G + """,
+rev AS (SELECT dst AS src, src AS dst FROM dedges WHERE (src + dst) % 3 = 0),
+arcs AS (SELECT src, dst FROM dedges UNION ALL SELECT src, dst FROM rev),
+und2 AS (SELECT src, dst FROM arcs UNION ALL SELECT dst, src FROM arcs),
+wt AS (SELECT src, dst, count(*) AS w FROM und2 GROUP BY src, dst),
+dtot AS (SELECT src AS id, count(*) AS dtot FROM und2 GROUP BY src),
+recd AS (SELECT src AS id, count(*) AS rec FROM wt WHERE w = 2 GROUP BY src),
+sdeg AS (SELECT src AS id, count(*) AS sd FROM wt GROUP BY src),
+o AS (SELECT wt.src, wt.dst, wt.w FROM wt
+      JOIN sdeg a ON a.id = wt.src JOIN sdeg b ON b.id = wt.dst
+      WHERE a.sd < b.sd OR (a.sd = b.sd AND wt.src < wt.dst)),
+t AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c,
+             e1.w * e2.w * e3.w AS p
+      FROM o e1 JOIN o e2 ON e2.src = e1.dst
+      JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+tc AS (SELECT id, sum(p) AS t FROM (
+         SELECT a AS id, p FROM t UNION ALL SELECT b, p FROM t
+         UNION ALL SELECT c, p FROM t) GROUP BY id)
+SELECT v.id, round(CASE WHEN coalesce(d.dtot, 0) >= 2
+         AND (d.dtot * (d.dtot - 1) - 2 * coalesce(r.rec, 0)) > 0
+       THEN coalesce(tc.t, 0)::DOUBLE
+            / (d.dtot * (d.dtot - 1) - 2 * coalesce(r.rec, 0))
+       ELSE 0.0 END, 6) AS cc
+FROM verts v LEFT JOIN dtot d ON d.id = v.id
+LEFT JOIN recd r ON r.id = v.id LEFT JOIN tc ON tc.id = v.id"""
+)
+
+
 def q_avg_clustering(spark, sf_dir):
     from graphscope_spark.operators.clustering import avg_clustering
 
@@ -1138,6 +1185,80 @@ SELECT id, round(CASE WHEN total > 0 THEN
     )
 
 
+def _scc_test_graph(spark, sf_dir) -> Graph:
+    """Deterministic cyclic digraph for SCC: co-order pairs restricted
+    to id % 4 == 0 endpoints, thinned to ~20% by a keep-hash and
+    oriented by an independent direction-hash — yields a giant SCC
+    plus a singleton periphery (non-trivial both ways)."""
+    verts, dedges = part_edges(spark, sf_dir)
+    sub = verts.where(F.col("id") % 4 == 0)
+    p = dedges.where((F.col("src") % 4 == 0) & (F.col("dst") % 4 == 0))
+    from graphscope_spark.functions.text import h60
+
+    key = F.concat(F.col("src").cast("string"), F.lit(":"),
+                   F.col("dst").cast("string"))
+    keep_h = h60(F.concat(F.lit("k:"), key))
+    dir_h = h60(F.concat(F.lit("d:"), key))
+    e = (
+        p.where(keep_h % 10 < 2)
+        .select(
+            F.when(dir_h % 2 == 0, F.col("src")).otherwise(F.col("dst"))
+            .alias("s2"),
+            F.when(dir_h % 2 == 0, F.col("dst")).otherwise(F.col("src"))
+            .alias("d2"),
+        )
+        .select(F.col("s2").alias("src"), F.col("d2").alias("dst"))
+    )
+    return Graph.from_edges(e, directed=True, vertices=sub)
+
+
+def q_scc(spark, sf_dir):
+    """Strongly connected components (label = min member id) on the
+    hash-directed co-order subgraph — reference
+    ``apps/flash/connectivity/scc.h``."""
+    from graphscope_spark.operators.connectivity import scc
+
+    return scc(_scc_test_graph(spark, sf_dir)).select("id", "scc")
+
+
+def _scc_sql(rounds: int = 16) -> str:
+    """Transitive-closure oracle: R = reach pairs after ``rounds``
+    single-step relaxations (covers eccentricity ≤ rounds; convergence
+    asserted by tests/test_oracle_convergence.py), then
+    scc(v) = least(v, min{u : (v,u) ∈ R ∧ (u,v) ∈ R})."""
+    h = "('0x' || substr(md5({0}), 1, 15))::BIGINT"
+    key = "src::VARCHAR || ':' || dst::VARCHAR"
+    parts = [
+        _G,
+        "subv AS (SELECT id FROM verts WHERE id % 4 = 0)",
+        "p AS (SELECT src, dst FROM dedges"
+        " WHERE src % 4 = 0 AND dst % 4 = 0)",
+        "de AS (SELECT CASE WHEN " + h.format(f"'d:' || {key}")
+        + " % 2 = 0 THEN src ELSE dst END AS src,\n"
+        "        CASE WHEN " + h.format(f"'d:' || {key}")
+        + " % 2 = 0 THEN dst ELSE src END AS dst\n"
+        "        FROM p WHERE " + h.format(f"'k:' || {key}") + " % 10 < 2)",
+        "r0 AS (SELECT src AS a, dst AS b FROM de)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"r{k + 1} AS (SELECT DISTINCT a, b FROM (\n"
+            f"          SELECT a, b FROM r{k}\n"
+            f"          UNION ALL\n"
+            f"          SELECT r.a, e.dst AS b FROM r{k} r"
+            f" JOIN de e ON e.src = r.b))"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f""",
+mut AS (SELECT r1.a AS id, min(r1.b) AS mn
+        FROM r{rounds} r1 JOIN r{rounds} r2
+        ON r2.a = r1.b AND r2.b = r1.a GROUP BY r1.a)
+SELECT v.id, least(v.id, coalesce(m.mn, v.id)) AS scc
+FROM subv v LEFT JOIN mut m ON m.id = v.id"""
+    )
+
+
 def q_betweenness_sample(spark, sf_dir):
     """Brandes betweenness over the undirected co-order graph for the
     source sample id % 97 == 0 (exact per source, unnormalized,
@@ -1269,6 +1390,37 @@ def q_avg_degree_connectivity(spark, sf_dir):
     )
 
 
+def q_rel_apply(spark, sf_dir):
+    """GIE Apply demo (correlated subplan, reference
+    ``interactive_engine/executor/ir/proto/physical.proto:125-135``):
+    customers whose balance beats their nation's average.  Expressed as
+    the decorrelated plan Catalyst produces for a correlated scalar
+    subquery: per-key aggregate + broadcast join + filter."""
+    c = load(spark, sf_dir, "customer")
+    avgs = c.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("nav"))
+    return (
+        c.join(F.broadcast(avgs), "c_nationkey")
+        .where(F.col("c_acctbal") > F.col("nav"))
+        .select("c_custkey", "c_name",
+                F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+def q_rel_sample(spark, sf_dir):
+    """GIE Sample demo (reference ``algebra.proto:428``): seeded,
+    engine-reproducible 10% sample — h60('s:' || key) % 10 == 0 — so
+    the oracle draws the identical rows (no rand())."""
+    from graphscope_spark.functions.text import h60
+
+    o = load(spark, sf_dir, "orders")
+    keep = h60(F.concat(F.lit("s:"), F.col("o_orderkey").cast("string")))
+    return (
+        o.where(keep % 10 == 0)
+        .select("o_orderkey", "o_custkey",
+                F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
 def q_rel_union_intersect(spark, sf_dir):
     """GIE Union/Intersect demo: parts sold cheap UNION parts sold in
     quantity, INTERSECT parts above a size."""
@@ -1379,6 +1531,20 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
               "FROM sym e JOIN udeg ds ON ds.id = e.src"
               " JOIN udeg dd ON dd.id = e.dst GROUP BY ds.d",
         ),
+        "rel_apply": (
+            q_rel_apply,
+            """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+               FROM customer c
+               WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                                  WHERE c2.c_nationkey = c.c_nationkey)""",
+        ),
+        "rel_sample": (
+            q_rel_sample,
+            "SELECT o_orderkey, o_custkey,"
+            " round(o_totalprice, 2) AS totalprice FROM orders\n"
+            "WHERE " + _H60.format("'s:' || o_orderkey::VARCHAR")
+            + " % 10 = 0",
+        ),
         "rel_union_intersect": (
             q_rel_union_intersect,
             """SELECT DISTINCT p_partkey FROM (
@@ -1388,6 +1554,9 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
                  SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)
                INTERSECT
                SELECT p_partkey FROM part WHERE p_size >= 25""",
+        ),
+        "clustering_directed": (
+            q_clustering_directed, _CLUSTERING_DIRECTED_SQL
         ),
         "avg_clustering": (
             q_avg_clustering,
@@ -1423,6 +1592,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
               "WHERE e.src % 17 = 0 AND e.dst % 17 <> 0",
         ),
         "kshell": (q_kshell, _kshell_sql(80, 20)),
+        "scc": (q_scc, _scc_sql(16)),
         "lpa_u2i": (q_lpa_u2i, _lpa_u2i_sql(5)),
         "sssp": (q_sssp, _sssp_sql(8)),
         "sssp_path": (q_sssp_path, _sssp_path_sql(8)),

@@ -1,0 +1,72 @@
+"""Convergence guard for the fixed-unroll DuckDB oracles.
+
+Each iterative oracle is unrolled to a fixed depth; the Spark operator
+runs to a true fixpoint.  The compare is only sound if the oracle's
+depth covers convergence on the actual data — a too-shallow unroll
+would silently under-propagate.  This test proves depth k suffices by
+checking oracle(k) == oracle(k+1) at the driver's compare scale
+(sf0.01): equal results at one extra round ⇒ the fixpoint was reached
+within k rounds.
+
+Fixed-round oracles (pagerank/hits/eigenvector/katz/cdlp/lpa_u2i/
+voterank) are excluded by design — their Spark side runs the same
+fixed round count, so there is no fixpoint requirement.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from graphscope_spark import entry as E
+
+SF_DIR = "/root/testdata/sf0.01"
+
+CASES = {
+    "wcc": (lambda: E._wcc_sql(8), lambda: E._wcc_sql(9)),
+    "bfs": (lambda: E._bfs_sql(6), lambda: E._bfs_sql(7)),
+    "sssp": (lambda: E._sssp_sql(8), lambda: E._sssp_sql(9)),
+    "closeness_sample": (
+        lambda: E._closeness_sample_sql(5),
+        lambda: E._closeness_sample_sql(6),
+    ),
+    "kcore": (
+        lambda: E._kcore_sql(80, 20), lambda: E._kcore_sql(80, 21)
+    ),
+    "kshell": (
+        lambda: E._kshell_sql(80, 20), lambda: E._kshell_sql(80, 21)
+    ),
+    "betweenness_sample": (
+        lambda: E._betweenness_sample_sql(6),
+        lambda: E._betweenness_sample_sql(7),
+    ),
+    "scc": (lambda: E._scc_sql(16), lambda: E._scc_sql(17)),
+    "sssp_path": (
+        lambda: E._sssp_path_sql(8), lambda: E._sssp_path_sql(9)
+    ),
+    "sssp_avg_length": (
+        lambda: E._sssp_avg_length_sql(8),
+        lambda: E._sssp_avg_length_sql(9),
+    ),
+    "apsp_sample": (
+        lambda: E._apsp_sample_sql(5), lambda: E._apsp_sample_sql(6)
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in E.TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_oracle_unroll_depth_converged(con, name):
+    at_k, at_k1 = CASES[name]
+    rk = sorted(con.sql(E._materialize_ctes(at_k())).fetchall())
+    rk1 = sorted(con.sql(E._materialize_ctes(at_k1())).fetchall())
+    assert rk == rk1, (
+        f"{name}: oracle not converged at its registered unroll depth"
+    )
