@@ -313,6 +313,17 @@ class Graph:
         return Graph.from_edges(e, directed=self.directed, vertices=v,
                                 num_partitions=self.num_partitions)
 
+    def consolidate_columns(
+        self, columns: list[str], out: str = "consolidated"
+    ) -> DataFrame:
+        """Pack several vertex property columns into one array column
+        (CONSOLIDATE_COLUMNS, reference ``core/grape_instance.cc:
+        1458-1462``): returns the vertex table with ``out`` =
+        array(columns), originals dropped."""
+        packed = F.array(*[F.col(c).cast("double") for c in columns])
+        keep = [c for c in self.vertices.columns if c not in columns]
+        return self.vertices.select(*keep, packed.alias(out))
+
     def add_column(self, result: DataFrame, on: str = "id") -> DataFrame:
         """Join an app result back onto the vertex table (ADD_COLUMN,
         reference ``grape_instance.cc:1493-1497``, python

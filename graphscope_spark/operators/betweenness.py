@@ -42,7 +42,20 @@ def betweenness_centrality(
 ) -> DataFrame:
     """``(id long, bc double)`` — Brandes betweenness accumulated over
     ``sources`` (all vertices when None; pass a sample for large
-    graphs).  Directedness follows ``graph.directed``."""
+    graphs).  Directedness follows ``graph.directed``.  AQE pinned off
+    for the two sweeps (fixed-shape levels; see ``plans.adaptive``)."""
+    from graphscope_spark.plans.adaptive import superstep_conf
+
+    with superstep_conf(graph.vertices.sparkSession, False):
+        return _betweenness(graph, sources, normalized, max_depth)
+
+
+def _betweenness(
+    graph: Graph,
+    sources: DataFrame | None,
+    normalized: bool,
+    max_depth: int,
+) -> DataFrame:
     directed = graph.directed
     edges = (graph.edges if directed else graph.symmetrized_edges()).select(
         "src", "dst"

@@ -40,8 +40,14 @@ def pagerank(
     checkpoint: CheckpointManager | None = None,
     lineage_truncate_every: int = 5,
     message_combine: str = "map",
+    adaptive: bool = False,
 ) -> DataFrame:
     """Returns ``(id long, rank double)``.
+
+    ``adaptive=False`` pins AQE off for the superstep loop (restored
+    after): the per-round plan is fixed-shape, skew is handled by
+    map-side combine + salting, and adaptive re-planning measured
+    ~35% overhead per loop at sf0.1 (see ``plans.adaptive``).
 
     ``tol <= 0`` gives the fixed-round LDBC/Graphalytics variant
     (``grape::PageRankOpt`` with ``delta=0.85, max_round=10`` pinned in
@@ -60,6 +66,24 @@ def pagerank(
       for a <2x message reduction (measured 1.3-1.6x faster and
       better core-scaling on the 60M-edge synthetic graph).
     """
+    from graphscope_spark.plans.adaptive import superstep_conf
+
+    with superstep_conf(graph.vertices.sparkSession, adaptive):
+        return _pagerank_loop(
+            graph, alpha, max_iter, tol, checkpoint,
+            lineage_truncate_every, message_combine,
+        )
+
+
+def _pagerank_loop(
+    graph: Graph,
+    alpha: float,
+    max_iter: int,
+    tol: float,
+    checkpoint: CheckpointManager | None,
+    lineage_truncate_every: int,
+    message_combine: str,
+) -> DataFrame:
     direction = "in" if graph.directed else "both"
     # messages flow src→dst along this adjacency: for the pull-from-
     # in-neighbors digraph semantics we keep edges as-is and aggregate

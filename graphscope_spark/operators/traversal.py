@@ -92,7 +92,17 @@ def sssp(
 ) -> DataFrame:
     """Shortest weighted distance from ``source``: ``(id long,
     dist double)``, reached vertices only.  Frontier-driven
-    Bellman-Ford (reference ``sssp_projected.h:83-160``)."""
+    Bellman-Ford (reference ``sssp_projected.h:83-160``).  AQE is
+    pinned off for the loop (fixed-shape supersteps; see
+    ``plans.adaptive``)."""
+    from graphscope_spark.plans.adaptive import superstep_conf
+
+    with superstep_conf(graph.vertices.sparkSession, False):
+        return _sssp_loop(graph, source, weight_col, max_iter, symmetrize,
+                          checkpoint)
+
+
+def _sssp_loop(graph, source, weight_col, max_iter, symmetrize, checkpoint):
     e = graph.symmetrized_edges(dedup=False) if symmetrize else graph.edges
     if weight_col not in e.columns:
         e = e.withColumn(weight_col, F.lit(1.0))
@@ -248,7 +258,16 @@ def multi_source_sssp(
     independent, so running a source SAMPLE gives exact rows for those
     sources.  Messages min-combine map-side per (source, dst) — the
     shuffle stays one per superstep regardless of the source count.
+    AQE pinned off for the loop (see ``plans.adaptive``).
     """
+    from graphscope_spark.plans.adaptive import superstep_conf
+
+    with superstep_conf(graph.vertices.sparkSession, False):
+        return _multi_source_sssp_loop(graph, sources, weight_col, max_iter,
+                                       symmetrize)
+
+
+def _multi_source_sssp_loop(graph, sources, weight_col, max_iter, symmetrize):
     e = graph.symmetrized_edges(dedup=False) if symmetrize else graph.edges
     if weight_col not in e.columns:
         e = e.withColumn(weight_col, F.lit(1.0))

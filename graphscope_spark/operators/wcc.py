@@ -37,9 +37,29 @@ def wcc(
     pointer_jumping: bool = True,
     checkpoint: CheckpointManager | None = None,
     lineage_truncate_every: int = 5,
+    adaptive: bool = False,
 ) -> DataFrame:
     """Returns ``(id long, comp long)`` with ``comp`` = min vertex id
-    in the weakly-connected component."""
+    in the weakly-connected component.
+
+    ``adaptive=False`` pins AQE off for the loop (restored after): the
+    superstep plan is fixed-shape and already min-combined map-side,
+    and per-round adaptive re-planning measured ~3x slower at sf0.1
+    (see ``plans.adaptive``)."""
+    from graphscope_spark.plans.adaptive import superstep_conf
+
+    with superstep_conf(graph.vertices.sparkSession, adaptive):
+        return _wcc_loop(graph, max_iter, pointer_jumping, checkpoint,
+                         lineage_truncate_every)
+
+
+def _wcc_loop(
+    graph: Graph,
+    max_iter: int,
+    pointer_jumping: bool,
+    checkpoint: CheckpointManager | None,
+    lineage_truncate_every: int,
+) -> DataFrame:
     edges = graph.symmetrized_edges().select("src", "dst")
     if graph.num_partitions:
         edges = edges.repartition(graph.num_partitions, "src")

@@ -184,6 +184,21 @@ def test_induce_subgraph_and_add_column(spark):
     assert "dc" in joined.columns and joined.count() == len(vs)
 
 
+def test_consolidate_columns(spark):
+    vs, es = GRAPHS["tiny"]
+    g = make_graph(spark, vs, es)
+    g2 = make_graph(spark, vs, es)
+    g2.vertices = g.add_column(degree_centrality(g, "out")).join(
+        g.add_column(degree_centrality(g, "in"))
+        .withColumnRenamed("dc", "dc_in").select("id", "dc_in"),
+        "id",
+    )
+    packed = g2.consolidate_columns(["dc", "dc_in"], out="feats")
+    row = packed.where(F.col("id") == 0).collect()[0]
+    assert "dc" not in packed.columns and "dc_in" not in packed.columns
+    assert len(row["feats"]) == 2
+
+
 def test_salted_adjacency_equals_plain(spark):
     vs, es = GRAPHS["p2p_like"]
     g = make_graph(spark, vs, es)
