@@ -53,6 +53,20 @@ def main() -> None:
     n_mined = edges.count()
     timings["mine"] = time.time() - t0
 
+    # -- the NORTH-RULE graph: pagerank to 1e-6 on the MINED
+    # repo-dependency graph (string repo ids -> dense longs via the
+    # partition-offset dictionary), reporting supersteps-to-convergence
+    t0 = time.time()
+    from graphscope_spark.graph import Graph
+
+    gm, _vmap = Graph.from_string_edges(edges, "src_repo", "dst_repo")
+    gm.edges = gm.edges.persist()
+    n_mined_edges = gm.edges.count()
+    mined_stats: dict = {}
+    pagerank(gm, alpha=0.85, max_iter=100, tol=1e-06,
+             stats=mined_stats).limit(1).collect()
+    timings["pagerank_mined_conv"] = time.time() - t0
+
     # -- build the co-order graph once (cached adjacency reused).
     # graph_build INCLUDES materializing the CSR adjacency and degree
     # tables: that is load-time work every app shares, so charging it
@@ -83,7 +97,9 @@ def main() -> None:
 
     # -- pagerank to 1e-6 convergence (supersteps-to-convergence metric)
     t0 = time.time()
-    pagerank(g, alpha=0.85, max_iter=100, tol=1e-06).limit(1).collect()
+    conv_stats: dict = {}
+    pagerank(g, alpha=0.85, max_iter=100, tol=1e-06,
+             stats=conv_stats).limit(1).collect()
     timings["pagerank_conv"] = time.time() - t0
 
     # -- wcc / cdlp / triangles
@@ -111,6 +127,15 @@ def main() -> None:
         "pagerank_edges_per_sec_per_superstep": round(pr_eps),
         "pagerank_rounds": PR_ROUNDS,
         "pagerank_runs": [round(x, 3) for x in pr_runs],
+        "pagerank_supersteps_to_1e6": conv_stats.get("rounds"),
+        "mined_graph": {
+            "edges": n_mined_edges,
+            "supersteps_to_1e6": mined_stats.get("rounds"),
+            "edges_per_sec_per_superstep": round(
+                n_mined_edges * (mined_stats.get("rounds") or 1)
+                / timings["pagerank_mined_conv"]
+            ),
+        },
     }
     print(json.dumps(out))
     spark.stop()

@@ -41,6 +41,7 @@ def pagerank(
     lineage_truncate_every: int = 5,
     message_combine: str = "map",
     adaptive: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Returns ``(id long, rank double)``.
 
@@ -71,7 +72,7 @@ def pagerank(
     with superstep_conf(graph.vertices.sparkSession, adaptive):
         return _pagerank_loop(
             graph, alpha, max_iter, tol, checkpoint,
-            lineage_truncate_every, message_combine,
+            lineage_truncate_every, message_combine, stats,
         )
 
 
@@ -83,6 +84,7 @@ def _pagerank_loop(
     checkpoint: CheckpointManager | None,
     lineage_truncate_every: int,
     message_combine: str,
+    stats: dict | None = None,
 ) -> DataFrame:
     direction = "in" if graph.directed else "both"
     # messages flow src→dst along this adjacency: for the pull-from-
@@ -187,6 +189,9 @@ def _pagerank_loop(
                     "wall_ms": (time.time() - t0) * 1000.0,
                 },
             )
+        if stats is not None:
+            stats["rounds"] = step + 1
+            stats["final_l1"] = float(l1)
         if tol > 0 and l1 < tol * n:
             break
 
