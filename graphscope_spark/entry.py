@@ -1259,6 +1259,48 @@ FROM subv v LEFT JOIN mut m ON m.id = v.id"""
     )
 
 
+def q_closeness_full(spark, sf_dir):
+    """ALL-SOURCES Wasserman-Faust closeness (reference
+    ``apps/centrality/closeness/`` runs every vertex) on the id % 4
+    induced subgraph — full semantics at a size where the O(n·m) SQL
+    oracle stays tractable; `closeness_sample` covers the sampled
+    scale path on the full graph."""
+    from graphscope_spark.operators.centrality import closeness_centrality
+
+    g = part_graph(spark, sf_dir)
+    gi = g.induce_subgraph(g.vertices.where(F.col("id") % 4 == 0))
+    r = closeness_centrality(gi.undirected())
+    return r.select("id", F.round("cc", 6).alias("cc"))
+
+
+def _closeness_full_sql(rounds: int = 5) -> str:
+    parts = [
+        _G,
+        "subv AS (SELECT id FROM verts WHERE id % 4 = 0)",
+        "sym2 AS (SELECT src, dst FROM sym"
+        " WHERE src % 4 = 0 AND dst % 4 = 0)",
+        "nn2 AS (SELECT count(*)::DOUBLE AS n FROM subv)",
+        "f0 AS (SELECT id AS source, id, 0 AS dist FROM subv)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"f{k + 1} AS (SELECT source, id, min(dist) AS dist FROM (\n"
+            f"          SELECT source, id, dist FROM f{k}\n"
+            f"          UNION ALL\n"
+            f"          SELECT f.source, e.dst AS id, f.dist + 1 AS dist\n"
+            f"          FROM f{k} f JOIN sym2 e ON e.src = f.id)"
+            f" GROUP BY source, id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f""",\nagg AS (SELECT source AS id, count(*) AS r,
+         sum(dist)::DOUBLE AS total FROM f{rounds} GROUP BY source)
+SELECT id, round(CASE WHEN total > 0 THEN
+         ((r - 1) / total) * ((r - 1) / ((SELECT n FROM nn2) - 1.0))
+       ELSE 0.0 END, 6) AS cc FROM agg"""
+    )
+
+
 def q_betweenness_sample(spark, sf_dir):
     """Brandes betweenness over the undirected co-order graph for the
     source sample id % 97 == 0 (exact per source, unnormalized,
@@ -1519,6 +1561,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "betweenness_sample": (
             q_betweenness_sample, _betweenness_sample_sql(6)
         ),
+        "closeness_full": (q_closeness_full, _closeness_full_sql(5)),
         "voterank": (q_voterank, _voterank_sql(10)),
         "avg_degree_connectivity": (
             q_avg_degree_connectivity,

@@ -42,7 +42,15 @@ def bfs(
     checkpoint: CheckpointManager | None = None,
 ) -> DataFrame:
     """Hop depth from ``source``: ``(id long, depth long)``, reached
-    vertices only (reference golden convention ``p2p-31-BFS``)."""
+    vertices only (reference golden convention ``p2p-31-BFS``).  AQE
+    pinned off for the loop (see ``plans.adaptive``)."""
+    from graphscope_spark.plans.adaptive import superstep_conf
+
+    with superstep_conf(graph.vertices.sparkSession, False):
+        return _bfs_loop(graph, source, depth_limit, symmetrize, checkpoint)
+
+
+def _bfs_loop(graph, source, depth_limit, symmetrize, checkpoint):
     edges = (graph.symmetrized_edges() if symmetrize else graph.edges).select(
         "src", "dst"
     )

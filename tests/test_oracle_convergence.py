@@ -30,6 +30,10 @@ CASES = {
         lambda: E._closeness_sample_sql(5),
         lambda: E._closeness_sample_sql(6),
     ),
+    "closeness_full": (
+        lambda: E._closeness_full_sql(5),
+        lambda: E._closeness_full_sql(6),
+    ),
     "kcore": (
         lambda: E._kcore_sql(80, 20), lambda: E._kcore_sql(80, 21)
     ),
