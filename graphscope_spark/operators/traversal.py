@@ -256,6 +256,7 @@ def multi_source_sssp(
     weight_col: str = "weight",
     max_iter: int = 10_000,
     symmetrize: bool = False,
+    checkpoint: CheckpointManager | None = None,
 ) -> DataFrame:
     """Weighted distances from every source at once: ``(source long,
     id long, dist double)``, reached pairs only.
@@ -267,15 +268,22 @@ def multi_source_sssp(
     sources.  Messages min-combine map-side per (source, dst) — the
     shuffle stays one per superstep regardless of the source count.
     AQE pinned off for the loop (see ``plans.adaptive``).
+
+    With ``checkpoint``, every superstep commits the (source, id,
+    dist) state; a resumed run reloads the latest committed state and
+    re-announces it as the frontier (monotone min-relaxation makes the
+    re-announce safe — at worst one redundant round, same convention
+    as wcc).
     """
     from graphscope_spark.plans.adaptive import superstep_conf
 
     with superstep_conf(graph.vertices.sparkSession, False):
         return _multi_source_sssp_loop(graph, sources, weight_col, max_iter,
-                                       symmetrize)
+                                       symmetrize, checkpoint)
 
 
-def _multi_source_sssp_loop(graph, sources, weight_col, max_iter, symmetrize):
+def _multi_source_sssp_loop(graph, sources, weight_col, max_iter, symmetrize,
+                            checkpoint=None):
     e = graph.symmetrized_edges(dedup=False) if symmetrize else graph.edges
     if weight_col not in e.columns:
         e = e.withColumn(weight_col, F.lit(1.0))
@@ -284,13 +292,20 @@ def _multi_source_sssp_loop(graph, sources, weight_col, max_iter, symmetrize):
         edges = edges.repartition(graph.num_partitions, "src")
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
 
-    state = sources.select(
-        F.col(sources.columns[0]).cast("long").alias("source")
-    ).select("source", F.col("source").alias("id"),
-             F.lit(0.0).alias("dist"))
+    start_step = 0
+    if checkpoint is not None and (
+        latest := checkpoint.latest_superstep()
+    ) is not None:
+        state = checkpoint.load_state(graph.vertices.sparkSession, latest)
+        start_step = latest + 1
+    else:
+        state = sources.select(
+            F.col(sources.columns[0]).cast("long").alias("source")
+        ).select("source", F.col("source").alias("id"),
+                 F.lit(0.0).alias("dist"))
     state = state.persist(StorageLevel.MEMORY_AND_DISK)
     frontier = state
-    for step in range(max_iter):
+    for step in range(start_step, start_step + max_iter):
         cand = (
             edges.join(frontier.withColumnRenamed("id", "src"), "src")
             .groupBy("source", F.col("dst").alias("id"))
@@ -320,6 +335,8 @@ def _multi_source_sssp_loop(graph, sources, weight_col, max_iter, symmetrize):
             frontier.unpersist()
         state = merged.select("source", "id", "dist")
         frontier = new_frontier
+        if checkpoint is not None:
+            checkpoint.save(step, state, {"changed": float(changed)})
         if changed == 0:
             break
     return state

@@ -10,6 +10,7 @@ per batch.
 """
 
 from graphscope_spark.streaming.edge_stream import (  # noqa: F401
+    degree_threshold_alerts,
     incremental_degrees,
     read_edge_stream,
     windowed_event_stats,

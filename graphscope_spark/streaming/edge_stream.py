@@ -63,6 +63,47 @@ def windowed_event_stats(
     )
 
 
+def degree_threshold_alerts(
+    edge_stream: DataFrame, threshold: int = 100
+) -> DataFrame:
+    """Custom STATEFUL operator via ``applyInPandasWithState``: emit
+    ``(id, degree)`` exactly ONCE when a vertex's running out-degree
+    first crosses ``threshold`` (a hub-formation alert feeding the
+    salting machinery).
+
+    This is edge-triggered, not level-triggered — a plain streaming
+    aggregation can only maintain the level (current degree); the
+    "fire once on crossing" semantics needs per-group state carrying
+    a latched ``alerted`` flag across micro-batches, which is exactly
+    the ``applyInPandasWithState`` contract (Arrow-batched per-group
+    pandas, engine-managed state store, at scale RocksDB-backed and
+    checkpointed).  State per key is two scalars — O(distinct hubs)
+    total, not O(edges).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "id long, degree long"
+    state_schema = "degree long, alerted boolean"
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            deg, alerted = state.get
+        else:
+            deg, alerted = 0, False
+        for pdf in pdfs:
+            deg += len(pdf)
+        fire = (not alerted) and deg >= threshold
+        state.update((int(deg), bool(alerted or fire)))
+        if fire:
+            yield pd.DataFrame({"id": [key[0]], "degree": [int(deg)]})
+
+    return edge_stream.groupBy(F.col("src")).applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_sink(
     stream_df: DataFrame,
     path: str,

@@ -65,3 +65,23 @@ def test_lineage_is_recorded(spark, tmp_path):
     lineage = spark.read.parquet(str(tmp_path / "pr2" / "lineage" / "superstep=1"))
     assert {"partition_id", "rows", "superstep"} <= set(lineage.columns)
     assert lineage.agg(F.sum("rows")).collect()[0][0] == len(VS)
+
+
+def test_multi_source_sssp_resume_equivalence(spark, tmp_path):
+    from graphscope_spark.operators.traversal import multi_source_sssp
+
+    g = make_graph(spark, VS, ES)
+    srcs = spark.createDataFrame(
+        [(int(s),) for s in sorted(VS)[:4]], "id long"
+    )
+    want = {(r["source"], r["id"]): r["dist"]
+            for r in multi_source_sssp(g, srcs).collect()}
+
+    ck = CheckpointManager(str(tmp_path), "mss")
+    # phase 1: only 2 supersteps, then "crash"
+    multi_source_sssp(g, srcs, max_iter=2, checkpoint=ck)
+    assert ck.latest_superstep() == 1
+    # phase 2: resume from the committed state and run to fixpoint
+    got = {(r["source"], r["id"]): r["dist"]
+           for r in multi_source_sssp(g, srcs, checkpoint=ck).collect()}
+    assert got == want

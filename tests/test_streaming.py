@@ -79,3 +79,33 @@ def test_windowed_event_stats_finalize_on_watermark(spark, tmp_path):
     # window [12:00,12:01) click x2 and [12:01,12:02) view x1 finalized
     assert rows_out[(0, "click")] == (2, 3.0)
     assert rows_out[(1, "view")] == (1, 5.0)
+
+
+def test_degree_threshold_alerts_fire_once(spark, tmp_path):
+    from graphscope_spark.streaming.edge_stream import (
+        degree_threshold_alerts,
+    )
+
+    src_dir = str(tmp_path / "alerts_in")
+    t = dt.datetime(2026, 1, 1, 12, 0, 0)
+    # batch 1: src 1 degree 2 (below threshold 3), src 2 degree 1
+    _write_edge_batch(spark, src_dir, [(1, 10, t), (1, 11, t), (2, 10, t)])
+    # batch 2: src 1 crosses (2+2=4 >= 3); src 2 stays below (2)
+    _write_edge_batch(spark, src_dir, [(1, 12, t), (1, 13, t), (2, 11, t)])
+
+    # maxFilesPerTrigger=1 forces multiple micro-batches so the state
+    # (degree + latched alerted flag) genuinely persists across them
+    stream = read_edge_stream(spark, src_dir, max_files_per_trigger=1)
+    q = (
+        degree_threshold_alerts(stream, threshold=3)
+        .writeStream.format("memory")
+        .queryName("alerts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM alerts").collect()
+    # exactly ONE alert, for src 1, at the degree where it crossed
+    assert len(rows) == 1
+    assert rows[0]["id"] == 1 and rows[0]["degree"] >= 3
