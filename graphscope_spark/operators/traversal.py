@@ -240,10 +240,14 @@ def sssp_has_path(
             .join(state, "id", "left_anti")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        hit = cand.where(F.col("id") == int(target)).limit(1).count()
-        if hit:
+        # ONE action per superstep: frontier size + target-hit together
+        row = cand.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max((F.col("id") == int(target)).cast("int")).alias("hit"),
+        ).collect()[0]
+        if row["hit"]:
             return True
-        if cand.limit(1).count() == 0:
+        if row["n"] == 0:
             return False
         state = state.unionByName(cand).persist(StorageLevel.MEMORY_AND_DISK)
         frontier = cand
