@@ -1259,6 +1259,178 @@ FROM subv v LEFT JOIN mut m ON m.id = v.id"""
     )
 
 
+def q_ppr(spark, sf_dir):
+    """Personalized PageRank from the min part key, 10 fixed rounds
+    (reference ``apps/flash/ranking/ppr.h``)."""
+    from graphscope_spark.operators.pagerank import personalized_pagerank
+
+    g = part_graph(spark, sf_dir)
+    src = int(g.vertices.agg(F.min("id")).collect()[0][0])
+    r = personalized_pagerank(g, src, alpha=0.85, max_iter=10, tol=0.0)
+    return r.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _ppr_sql(rounds: int = 10, alpha: float = 0.85) -> str:
+    parts = [
+        _G,
+        "deg AS (SELECT v.id, count(e.src) AS outdeg\n"
+        "        FROM verts v LEFT JOIN dedges e ON e.src = v.id"
+        " GROUP BY v.id)",
+        "s0v AS (SELECT min(id) AS v FROM verts)",
+        "r0 AS (SELECT id, CASE WHEN id = (SELECT v FROM s0v)"
+        " THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS rank FROM verts)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"d{k} AS (SELECT coalesce(sum(r.rank), 0)*{alpha!r} AS ds\n"
+            f"        FROM r{k} r JOIN deg ON deg.id = r.id"
+            f" WHERE deg.outdeg = 0)"
+        )
+        parts.append(
+            f"m{k} AS (SELECT e.dst AS id, sum(r.rank / deg.outdeg) AS s\n"
+            f"        FROM dedges e JOIN r{k} r ON e.src = r.id\n"
+            f"        JOIN deg ON deg.id = r.id GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{k + 1} AS (SELECT v.id,\n"
+            f"        {alpha!r}*coalesce(m.s, 0.0)"
+            f" + CASE WHEN v.id = (SELECT v FROM s0v)"
+            f" THEN {1.0 - alpha!r} + (SELECT ds FROM d{k})"
+            f" ELSE 0.0 END AS rank\n"
+            f"        FROM verts v LEFT JOIN m{k} m ON m.id = v.id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, round(rank, 6) AS rank FROM r{rounds}"
+    )
+
+
+def q_harmonic_sample(spark, sf_dir):
+    """Harmonic centrality for the source sample id % 31 == 0 on the
+    undirected co-order graph (reference
+    ``apps/flash/centrality/harmonic.h``)."""
+    from graphscope_spark.operators.centrality import harmonic_centrality
+
+    g = part_graph_undirected(spark, sf_dir)
+    srcs = g.vertices.where(F.col("id") % 31 == 0)
+    return harmonic_centrality(g, sources=srcs).select(
+        "id", F.round("hc", 6).alias("hc")
+    )
+
+
+def _harmonic_sample_sql(rounds: int = 5) -> str:
+    base = _apsp_sample_sql(rounds)
+    prefix = base.rsplit("\nSELECT", 1)[0]
+    return (
+        prefix
+        + f"\nSELECT source AS id, round(sum(1.0/dist), 6) AS hc"
+        f" FROM f{rounds} WHERE dist > 0 GROUP BY source"
+    )
+
+
+def q_diameter_approx(spark, sf_dir):
+    """Double-sweep diameter lower bound on the undirected co-order
+    graph (reference ``apps/flash/measurement/diameter-approx.h``)."""
+    from graphscope_spark.operators.misc import diameter_approx
+
+    g = part_graph(spark, sf_dir)
+    lb, far, ecc1 = diameter_approx(g)
+    return spark.createDataFrame(
+        [(lb, far, ecc1)],
+        "diameter_lb long, far_vertex long, ecc1 long",
+    )
+
+
+def _diameter_approx_sql(rounds: int = 6) -> str:
+    parts = [
+        _G,
+        "b0 AS (SELECT (SELECT min(id) FROM verts) AS id, 0 AS depth)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"b{k + 1} AS (SELECT id, min(depth) AS depth FROM (\n"
+            f"          SELECT id, depth FROM b{k}\n"
+            f"          UNION ALL\n"
+            f"          SELECT e.dst AS id, b.depth + 1 AS depth\n"
+            f"          FROM b{k} b JOIN sym e ON e.src = b.id) GROUP BY id)"
+        )
+    parts.append(
+        f"far AS (SELECT id, depth FROM b{rounds}"
+        f" ORDER BY depth DESC, id ASC LIMIT 1)"
+    )
+    parts.append("c0 AS (SELECT (SELECT id FROM far) AS id, 0 AS depth)")
+    for k in range(rounds):
+        parts.append(
+            f"c{k + 1} AS (SELECT id, min(depth) AS depth FROM (\n"
+            f"          SELECT id, depth FROM c{k}\n"
+            f"          UNION ALL\n"
+            f"          SELECT e.dst AS id, c.depth + 1 AS depth\n"
+            f"          FROM c{k} c JOIN sym e ON e.src = c.id) GROUP BY id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT (SELECT max(depth) FROM c{rounds})::BIGINT AS diameter_lb,
+       (SELECT id FROM far)::BIGINT AS far_vertex,
+       (SELECT depth FROM far)::BIGINT AS ecc1"""
+    )
+
+
+def q_mis(spark, sf_dir):
+    """Deterministic Luby maximal independent set on the undirected
+    co-order graph (reference ``apps/flash/matching/mis.h``); h60
+    priorities make the set engine-reproducible."""
+    from graphscope_spark.operators.misc import maximal_independent_set
+
+    return maximal_independent_set(part_graph(spark, sf_dir)).select(
+        "id", "in_mis"
+    )
+
+
+def _mis_sql(rounds: int = 8) -> str:
+    pri = _H60.format("'m:' || id::VARCHAR")
+    parts = [
+        _G,
+        f"pv AS (SELECT id, {pri} AS pri FROM verts)",
+        "a0 AS (SELECT id, pri FROM pv)",
+        "e0 AS (SELECT src, dst FROM sym)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"nm{k} AS (SELECT e.src AS id, min(ROW(a.pri, a.id)) AS m\n"
+            f"        FROM e{k} e JOIN a{k} a ON a.id = e.dst"
+            f" GROUP BY e.src)"
+        )
+        parts.append(
+            f"w{k} AS (SELECT a.id FROM a{k} a LEFT JOIN nm{k} n"
+            f" ON n.id = a.id\n"
+            f"        WHERE n.m IS NULL OR ROW(a.pri, a.id) < n.m)"
+        )
+        parts.append(
+            f"rm{k} AS (SELECT id FROM w{k} UNION\n"
+            f"        SELECT e.dst AS id FROM e{k} e"
+            f" JOIN w{k} w ON w.id = e.src)"
+        )
+        parts.append(
+            f"a{k + 1} AS (SELECT a.id, a.pri FROM a{k} a"
+            f" LEFT JOIN rm{k} r ON r.id = a.id WHERE r.id IS NULL)"
+        )
+        parts.append(
+            f"e{k + 1} AS (SELECT e.src, e.dst FROM e{k} e\n"
+            f"        JOIN a{k + 1} x ON x.id = e.src"
+            f" JOIN a{k + 1} y ON y.id = e.dst)"
+        )
+    mis_union = "\n        UNION ALL ".join(
+        f"SELECT id FROM w{k}" for k in range(rounds)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f",\nmis AS ({mis_union})\n"
+        "SELECT v.id, CASE WHEN m.id IS NULL THEN 0 ELSE 1 END AS in_mis\n"
+        "FROM verts v LEFT JOIN mis m ON m.id = v.id"
+    )
+
+
 def q_closeness_full(spark, sf_dir):
     """ALL-SOURCES Wasserman-Faust closeness (reference
     ``apps/centrality/closeness/`` runs every vertex) on the id % 4
@@ -1562,6 +1734,10 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
             q_betweenness_sample, _betweenness_sample_sql(6)
         ),
         "closeness_full": (q_closeness_full, _closeness_full_sql(5)),
+        "ppr": (q_ppr, _ppr_sql(10)),
+        "harmonic_sample": (q_harmonic_sample, _harmonic_sample_sql(5)),
+        "diameter_approx": (q_diameter_approx, _diameter_approx_sql(6)),
+        "mis": (q_mis, _mis_sql(8)),
         "voterank": (q_voterank, _voterank_sql(10)),
         "avg_degree_connectivity": (
             q_avg_degree_connectivity,

@@ -223,6 +223,33 @@ def _hits_loop(graph, max_iter, tol):
     )
 
 
+def harmonic_centrality(
+    graph: Graph, sources: DataFrame | None = None
+) -> DataFrame:
+    """``(id long, hc double)`` — harmonic centrality
+    ``hc(v) = Σ_{u≠v} 1/d(u, v)`` (reference
+    ``apps/flash/centrality/harmonic.h``; NetworkX semantics over
+    incoming-path distances).  Rides the same multi-source BFS flood
+    as closeness/APSP; pass ``sources`` for a sample (exact for those
+    vertices)."""
+    from graphscope_spark.operators.traversal import apsp_lengths
+
+    if graph.directed:
+        # incoming-path distances: flood along REVERSED edges
+        rev = Graph.from_edges(
+            graph.reversed_edges(), directed=True,
+            vertices=graph.vertices, num_partitions=graph.num_partitions,
+        )
+        d = apsp_lengths(rev, sources=sources)
+    else:
+        d = apsp_lengths(graph, sources=sources, symmetrize=True)
+    return (
+        d.where(F.col("dist") > 0)
+        .groupBy(F.col("source").alias("id"))
+        .agg(F.sum(1.0 / F.col("dist")).alias("hc"))
+    )
+
+
 def closeness_centrality(
     graph: Graph, wf_improved: bool = True, sources: DataFrame | None = None
 ) -> DataFrame:

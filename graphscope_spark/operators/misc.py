@@ -87,6 +87,99 @@ def node_boundary(graph: Graph, s: DataFrame) -> DataFrame:
     )
 
 
+def diameter_approx(graph: Graph) -> tuple[int, int, int]:
+    """Double-sweep diameter lower bound (reference
+    ``apps/flash/measurement/diameter-approx.h``): BFS from the min-id
+    vertex, pick the farthest reached vertex (max depth, min-id
+    tie-break), BFS again from it — the second eccentricity is a
+    quality lower bound on the diameter (exact on trees).
+
+    Returns ``(diameter_lb, sweep1_far_vertex, sweep1_ecc)``."""
+    from graphscope_spark.operators.traversal import bfs
+
+    src = int(graph.vertices.agg(F.min("id")).collect()[0][0])
+    d1 = bfs(graph, src, symmetrize=True)
+    far_row = (
+        d1.orderBy(F.desc("depth"), F.asc("id")).limit(1).collect()[0]
+    )
+    far, ecc1 = int(far_row["id"]), int(far_row["depth"])
+    d2 = bfs(graph, far, symmetrize=True)
+    lb = int(d2.agg(F.max("depth")).collect()[0][0])
+    return lb, far, ecc1
+
+
+def maximal_independent_set(graph: Graph, max_iter: int = 10_000) -> DataFrame:
+    """``(id long, in_mis int)`` — deterministic Luby MIS (reference
+    ``apps/flash/matching/mis.h``): each round every still-active
+    vertex with a (priority, id) pair lexicographically smaller than
+    ALL its active neighbors' joins the set; it and its neighbors
+    leave the active set.  Priorities are ``h60('m:' || id)`` — fixed,
+    engine-portable pseudo-randomness, so the SQL oracle reproduces
+    the exact same set.  O(log n) rounds w.h.p.; every round is one
+    neighbor-min join + two semi/anti joins over the shrinking active
+    subgraph."""
+    from graphscope_spark.functions.text import h60
+
+    edges = graph.symmetrized_edges().select("src", "dst")
+    spark = graph.vertices.sparkSession
+    active_v = graph.vertices.select(
+        "id", h60(F.concat(F.lit("m:"), F.col("id").cast("string"))).alias("pri")
+    ).localCheckpoint(eager=True)
+    active_e = edges.localCheckpoint(eager=True)
+    mis_parts: list[DataFrame] = []
+    for _ in range(max_iter):
+        if active_v.limit(1).count() == 0:
+            break
+        # min (pri, id) among active neighbors
+        nbr_min = (
+            active_e.join(
+                active_v.select(F.col("id").alias("dst"), "pri"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min(F.struct("pri", F.col("dst").alias("nid"))).alias("m"))
+        )
+        winners = (
+            active_v.join(nbr_min, "id", "left")
+            .where(
+                F.col("m").isNull()
+                | (F.struct("pri", F.col("id").alias("nid")) < F.col("m"))
+            )
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        mis_parts.append(winners)
+        # drop winners and their neighbors from the active set
+        nbrs = (
+            active_e.join(winners.withColumnRenamed("id", "src"), "src",
+                          "left_semi")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        removed = winners.unionByName(nbrs).distinct().localCheckpoint(
+            eager=True
+        )
+        active_v = active_v.join(removed, "id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        active_e = (
+            active_e.join(active_v.withColumnRenamed("id", "src"),
+                          "src", "left_semi")
+            .join(active_v.withColumnRenamed("id", "dst"), "dst",
+                  "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    if mis_parts:
+        mis = mis_parts[0]
+        for p in mis_parts[1:]:
+            mis = mis.unionByName(p)
+    else:
+        mis = spark.createDataFrame([], "id long")
+    return (
+        graph.vertices.select("id")
+        .join(mis.withColumn("in_mis", F.lit(1)), "id", "left")
+        .select("id", F.coalesce("in_mis", F.lit(0)).alias("in_mis"))
+    )
+
+
 def voterank(graph: Graph, num_seeds: int = 10) -> DataFrame:
     """Top influencers by iterative voting: ``(id long, rank int)``
     with rank 0 = first elected (reference ``voterank.h``; NetworkX

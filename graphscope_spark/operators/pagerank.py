@@ -76,6 +76,95 @@ def pagerank(
         )
 
 
+def personalized_pagerank(
+    graph: Graph,
+    source: int,
+    alpha: float = 0.85,
+    max_iter: int = 100,
+    tol: float = 1e-06,
+) -> DataFrame:
+    """Personalized PageRank from a single source (reference
+    ``apps/flash/ranking/ppr.h``; NetworkX ``pagerank(personalization=
+    {s: 1})`` semantics): teleport and dangling mass both return to the
+    SOURCE instead of spreading uniformly::
+
+        r'(v) = α·Σ_{u→v} r(u)/outdeg(u)
+                + [v = s]·((1-α) + α·dangling_sum)
+
+    Same superstep shape as global PageRank (cached adjacency join +
+    one combined message shuffle); AQE pinned off for the loop."""
+    from graphscope_spark.plans.adaptive import superstep_conf
+
+    spark = graph.vertices.sparkSession
+    with superstep_conf(spark, False):
+        adj = graph.adjacency("out" if graph.directed else "both", cache=True)
+        if graph.directed:
+            deg = graph.out_degrees().withColumnRenamed("out_degree", "deg")
+        else:
+            deg = graph.degrees().withColumnRenamed("degree", "deg")
+        base_v = deg.withColumn("dangling", F.col("deg") == 0)
+        base_v = base_v.persist(StorageLevel.MEMORY_AND_DISK)
+        n = base_v.count()
+        state = base_v.select(
+            "id",
+            F.when(F.col("id") == int(source), 1.0).otherwise(0.0).alias("rank"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        dangling_sum = 0.0 if n else 0.0
+        dangling_sum = (
+            state.join(base_v.where("dangling").select("id"), "id",
+                       "left_semi")
+            .agg(F.sum("rank")).collect()[0][0] or 0.0
+        ) * alpha
+        for step in range(max_iter):
+            contribs = (
+                adj.join(state.withColumnRenamed("id", "src"), "src")
+                .select(
+                    F.explode("dst_list").alias("id"),
+                    (F.col("rank") / F.col("degree")).alias("c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("c").alias("msum"))
+            )
+            src_mass = (1.0 - alpha) + dangling_sum
+            new_state = (
+                base_v.join(contribs, "id", "left")
+                .select(
+                    "id",
+                    (alpha * F.coalesce("msum", F.lit(0.0))
+                     + F.when(F.col("id") == int(source),
+                              F.lit(src_mass)).otherwise(0.0)).alias("rank"),
+                    "dangling",
+                )
+            )
+            new_state = maybe_truncate_lineage(
+                new_state.persist(StorageLevel.MEMORY_AND_DISK), step, 5
+            )
+            if tol > 0:
+                row = (
+                    new_state.withColumnRenamed("rank", "new_rank")
+                    .join(state.withColumnRenamed("rank", "old_rank"), "id")
+                    .agg(
+                        F.sum(F.abs(F.col("new_rank") - F.col("old_rank"))
+                              ).alias("l1"),
+                        F.sum(F.when(F.col("dangling"), F.col("new_rank"))
+                              .otherwise(0.0)).alias("dsum"),
+                    ).collect()[0]
+                )
+                l1 = row["l1"] or 0.0
+            else:
+                row = new_state.agg(
+                    F.sum(F.when(F.col("dangling"), F.col("rank"))
+                          .otherwise(0.0)).alias("dsum")
+                ).collect()[0]
+                l1 = 0.0
+            dangling_sum = (row["dsum"] or 0.0) * alpha
+            state.unpersist()
+            state = new_state.select("id", "rank")
+            if tol > 0 and l1 < tol * n:
+                break
+        return state.select("id", "rank")
+
+
 def _pagerank_loop(
     graph: Graph,
     alpha: float,

@@ -1,0 +1,148 @@
+"""FLASH-family extras: personalized PageRank, harmonic centrality,
+double-sweep diameter, deterministic Luby MIS — vs pure-Python
+oracles / structural properties."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from graphscope_spark.operators.centrality import harmonic_centrality
+from graphscope_spark.operators.misc import (
+    diameter_approx,
+    maximal_independent_set,
+)
+from graphscope_spark.operators.pagerank import personalized_pagerank
+from graphscope_spark.sources.synthetic import gen_edges
+from tests.conftest import make_graph
+
+VS, ES = gen_edges(n=60, m=280, seed=29)
+
+
+def _ppr_oracle(vertices, edges, src, alpha, rounds):
+    out = defaultdict(list)
+    for u, v in edges:
+        out[u].append(v)
+    r = {v: (1.0 if v == src else 0.0) for v in vertices}
+    dangling = alpha * sum(r[v] for v in vertices if not out[v])
+    for _ in range(rounds):
+        nxt = dict.fromkeys(vertices, 0.0)
+        for u in vertices:
+            if out[u]:
+                share = r[u] / len(out[u])
+                for v in out[u]:
+                    nxt[v] += alpha * share
+        nxt[src] += (1.0 - alpha) + dangling
+        r = nxt
+        dangling = alpha * sum(r[v] for v in vertices if not out[v])
+    return r
+
+
+def test_personalized_pagerank(spark):
+    g = make_graph(spark, VS, ES)
+    src = min(VS)
+    got = {r["id"]: r["rank"]
+           for r in personalized_pagerank(
+               g, src, alpha=0.85, max_iter=8, tol=0.0).collect()}
+    want = _ppr_oracle(VS, ES, src, 0.85, 8)
+    for v in VS:
+        assert math.isclose(got[v], want[v], abs_tol=1e-09), v
+
+
+def test_harmonic_centrality(spark):
+    g = make_graph(spark, VS, ES, directed=False)
+    nbrs = defaultdict(set)
+    for u, v in ES:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    srcs = sorted(VS)[:6]
+
+    def hc(s):
+        depth = {s: 0}
+        fr, d = [s], 0
+        while fr:
+            d += 1
+            nf = []
+            for u in fr:
+                for w in nbrs[u]:
+                    if w not in depth:
+                        depth[w] = d
+                        nf.append(w)
+            fr = nf
+        return sum(1.0 / dd for v, dd in depth.items() if dd > 0)
+
+    sdf = spark.createDataFrame([(int(s),) for s in srcs], "id long")
+    got = {r["id"]: r["hc"]
+           for r in harmonic_centrality(g, sources=sdf).collect()}
+    for s in srcs:
+        assert math.isclose(got[s], hc(s), abs_tol=1e-09), s
+
+
+def test_diameter_approx(spark):
+    g = make_graph(spark, VS, ES)
+    nbrs = defaultdict(set)
+    for u, v in ES:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+
+    def ecc(s):
+        depth = {s: 0}
+        fr, d = [s], 0
+        while fr:
+            d += 1
+            nf = []
+            for u in fr:
+                for w in nbrs[u]:
+                    if w not in depth:
+                        depth[w] = d
+                        nf.append(w)
+            fr = nf
+        return depth
+
+    d1 = ecc(min(VS))
+    e1 = max(d1.values())
+    far = min(v for v, d in d1.items() if d == e1)
+    lb_want = max(ecc(far).values())
+    lb, got_far, got_e1 = diameter_approx(g)
+    assert (lb, got_far, got_e1) == (lb_want, far, e1)
+    # lower bound property vs the true diameter
+    true_diam = max(max(ecc(s).values()) for s in VS)
+    assert lb <= true_diam
+
+
+def test_mis_properties_and_determinism(spark):
+    g = make_graph(spark, VS, ES)
+    got = {r["id"]: r["in_mis"]
+           for r in maximal_independent_set(g).collect()}
+    mis = {v for v, m in got.items() if m == 1}
+    nbrs = defaultdict(set)
+    for u, v in ES:
+        if u != v:
+            nbrs[u].add(v)
+            nbrs[v].add(u)
+    # independent: no two members adjacent
+    for v in mis:
+        assert not (nbrs[v] & mis), v
+    # maximal: every non-member has a member neighbor
+    for v in set(VS) - mis:
+        assert nbrs[v] & mis, v
+
+    # determinism: replay Luby with the same h60 priorities
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    pri = {v: (h60(f"m:{v}"), v) for v in VS}
+    active, want = set(VS), set()
+    while active:
+        winners = {v for v in active
+                   if all(pri[v] < pri[u]
+                          for u in nbrs[v] if u in active)}
+        want |= winners
+        rem = set(winners)
+        for w in winners:
+            rem |= nbrs[w] & active
+        active -= rem
+    assert mis == want

@@ -55,6 +55,15 @@ CASES = {
     "apsp_sample": (
         lambda: E._apsp_sample_sql(5), lambda: E._apsp_sample_sql(6)
     ),
+    "harmonic_sample": (
+        lambda: E._harmonic_sample_sql(5),
+        lambda: E._harmonic_sample_sql(6),
+    ),
+    "diameter_approx": (
+        lambda: E._diameter_approx_sql(6),
+        lambda: E._diameter_approx_sql(7),
+    ),
+    "mis": (lambda: E._mis_sql(8), lambda: E._mis_sql(9)),
 }
 
 
