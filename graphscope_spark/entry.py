@@ -1431,6 +1431,106 @@ def _mis_sql(rounds: int = 8) -> str:
     )
 
 
+def q_articlerank(spark, sf_dir):
+    """ArticleRank, 10 fixed rounds, reference flash protocol."""
+    from graphscope_spark.operators.pagerank import articlerank
+
+    r = articlerank(part_graph(spark, sf_dir), damping=0.85, max_iter=10)
+    return r.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _articlerank_sql(rounds: int = 10, damping: float = 0.85) -> str:
+    parts = [
+        _G,
+        "deg AS (SELECT v.id, count(e.src) AS outdeg\n"
+        "        FROM verts v LEFT JOIN dedges e ON e.src = v.id"
+        " GROUP BY v.id)",
+        "avgd AS (SELECT sum(outdeg)::DOUBLE / count(*) AS a FROM deg)",
+        "r0 AS (SELECT id, 0.0::DOUBLE AS rank FROM verts)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"m{k} AS (SELECT e.dst AS id,\n"
+            f"          sum(r.rank / (deg.outdeg + (SELECT a FROM avgd)))"
+            f" AS s\n"
+            f"        FROM dedges e JOIN r{k} r ON e.src = r.id\n"
+            f"        JOIN deg ON deg.id = r.id GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{k + 1} AS (SELECT v.id,"
+            f" {1.0 - damping!r} + {damping!r}*coalesce(m.s, 0.0) AS rank\n"
+            f"        FROM verts v LEFT JOIN m{k} m ON m.id = v.id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, round(rank, 6) AS rank FROM r{rounds}"
+    )
+
+
+def q_matching(spark, sf_dir):
+    """Deterministic greedy maximal matching on the undirected
+    co-order graph (reference ``apps/flash/matching/mm.h`` family)."""
+    from graphscope_spark.operators.misc import maximal_matching
+
+    return maximal_matching(part_graph(spark, sf_dir)).select("src", "dst")
+
+
+def _matching_sql(rounds: int = 12) -> str:
+    pri = _H60.format("'e:' || src::VARCHAR || ':' || dst::VARCHAR")
+    parts = [
+        _G,
+        f"e0 AS (SELECT src, dst, {pri} AS pri FROM ("
+        "SELECT DISTINCT src, dst FROM sym WHERE src < dst))",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"vm{k} AS (SELECT v, min(m) AS m FROM (\n"
+            f"          SELECT src AS v, ROW(pri, src, dst) AS m FROM e{k}\n"
+            f"          UNION ALL\n"
+            f"          SELECT dst AS v, ROW(pri, src, dst) AS m FROM e{k})"
+            f" GROUP BY v)"
+        )
+        parts.append(
+            f"w{k} AS (SELECT e.src, e.dst FROM e{k} e\n"
+            f"        JOIN vm{k} a ON a.v = e.src"
+            f" JOIN vm{k} b ON b.v = e.dst\n"
+            f"        WHERE ROW(e.pri, e.src, e.dst) = a.m"
+            f" AND ROW(e.pri, e.src, e.dst) = b.m)"
+        )
+        parts.append(
+            f"mv{k} AS (SELECT src AS v FROM w{k}"
+            f" UNION SELECT dst FROM w{k})"
+        )
+        parts.append(
+            f"e{k + 1} AS (SELECT e.src, e.dst, e.pri FROM e{k} e\n"
+            f"        LEFT JOIN mv{k} x ON x.v = e.src"
+            f" LEFT JOIN mv{k} y ON y.v = e.dst\n"
+            f"        WHERE x.v IS NULL AND y.v IS NULL)"
+        )
+    final = "\nUNION ALL ".join(
+        f"SELECT src, dst FROM w{k}" for k in range(rounds)
+    )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT src, dst FROM ({final})"
+
+
+def q_rect_count(spark, sf_dir):
+    """Global rectangle (4-cycle) count (reference
+    ``apps/flash/subgraph/rectangle.h``)."""
+    from graphscope_spark.operators.triangles import rectangle_count
+
+    v = rectangle_count(part_graph(spark, sf_dir))
+    return spark.createDataFrame([(int(v),)], "rect_count long")
+
+
+_RECT_COUNT_SQL = (
+    "WITH " + _G + """,
+wedges AS (SELECT x.src AS a, y.dst AS c
+           FROM sym x JOIN sym y ON x.dst = y.src WHERE x.src < y.dst),
+pc AS (SELECT a, c, count(*) AS w FROM wedges GROUP BY a, c)
+SELECT (coalesce(sum(w*(w-1)), 0) / 4)::BIGINT AS rect_count FROM pc"""
+)
+
+
 def q_closeness_full(spark, sf_dir):
     """ALL-SOURCES Wasserman-Faust closeness (reference
     ``apps/centrality/closeness/`` runs every vertex) on the id % 4
@@ -1735,6 +1835,9 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         ),
         "closeness_full": (q_closeness_full, _closeness_full_sql(5)),
         "ppr": (q_ppr, _ppr_sql(10)),
+        "articlerank": (q_articlerank, _articlerank_sql(10)),
+        "matching": (q_matching, _matching_sql(12)),
+        "rect_count": (q_rect_count, _RECT_COUNT_SQL),
         "harmonic_sample": (q_harmonic_sample, _harmonic_sample_sql(5)),
         "diameter_approx": (q_diameter_approx, _diameter_approx_sql(6)),
         "mis": (q_mis, _mis_sql(8)),

@@ -180,6 +180,70 @@ def maximal_independent_set(graph: Graph, max_iter: int = 10_000) -> DataFrame:
     )
 
 
+def maximal_matching(graph: Graph, max_iter: int = 10_000) -> DataFrame:
+    """``(src long, dst long)`` matched pairs (src < dst) — the
+    deterministic local-min greedy matching (reference
+    ``apps/flash/matching/mm.h`` family): each round an active edge
+    joins the matching iff its ``(h60, src, dst)`` priority is the
+    minimum among ALL active edges at BOTH endpoints; matched vertices
+    and their incident edges retire.  The global-min active edge
+    always wins, so progress is guaranteed; O(log m) rounds in
+    practice.  Priorities are h60-derived — engine-portable, so a SQL
+    oracle reproduces the exact matching."""
+    from graphscope_spark.functions.text import h60
+
+    spark = graph.vertices.sparkSession
+    e = (
+        graph.symmetrized_edges()
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    active = e.withColumn(
+        "pri",
+        h60(F.concat(F.lit("e:"), F.col("src").cast("string"),
+                     F.lit(":"), F.col("dst").cast("string"))),
+    ).localCheckpoint(eager=True)
+    parts: list[DataFrame] = []
+    for _ in range(max_iter):
+        if active.limit(1).count() == 0:
+            break
+        ep = F.struct("pri", "src", "dst")
+        both = active.select("src", "dst", "pri", ep.alias("ep"))
+        vmin = (
+            both.select(F.col("src").alias("v"), "ep")
+            .unionByName(both.select(F.col("dst").alias("v"), "ep"))
+            .groupBy("v")
+            .agg(F.min("ep").alias("m"))
+        )
+        winners = (
+            both.join(vmin.withColumnRenamed("v", "src")
+                      .withColumnRenamed("m", "ms"), "src")
+            .join(vmin.withColumnRenamed("v", "dst")
+                  .withColumnRenamed("m", "md"), "dst")
+            .where((F.col("ep") == F.col("ms")) & (F.col("ep") == F.col("md")))
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        parts.append(winners)
+        mv = (
+            winners.select(F.col("src").alias("v"))
+            .unionByName(winners.select(F.col("dst").alias("v")))
+            .distinct()
+        )
+        active = (
+            active.join(mv.withColumnRenamed("v", "src"), "src", "left_anti")
+            .join(mv.withColumnRenamed("v", "dst"), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    if not parts:
+        return spark.createDataFrame([], "src long, dst long")
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.unionByName(p)
+    return acc.select("src", "dst")
+
+
 def voterank(graph: Graph, num_seeds: int = 10) -> DataFrame:
     """Top influencers by iterative voting: ``(id long, rank int)``
     with rank 0 = first elected (reference ``voterank.h``; NetworkX

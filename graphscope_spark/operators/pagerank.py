@@ -165,6 +165,59 @@ def personalized_pagerank(
         return state.select("id", "rank")
 
 
+def articlerank(
+    graph: Graph, damping: float = 0.85, max_iter: int = 10
+) -> DataFrame:
+    """ArticleRank (reference ``apps/flash/ranking/articlerank.h``):
+    like PageRank but contributions divide by ``outdeg(u) + ⟨outdeg⟩``
+    so low-degree citers are dampened.  Reference protocol exactly:
+    init 0, fixed rounds of ``r'(v) = (1-d) + d·Σ_{u→v} r(u)/(deg(u)+avg)``
+    (no dangling redistribution, no normalization).  Same cached
+    adjacency + one message shuffle superstep; AQE pinned off."""
+    from graphscope_spark.plans.adaptive import superstep_conf
+
+    spark = graph.vertices.sparkSession
+    with superstep_conf(spark, False):
+        adj = graph.adjacency("out" if graph.directed else "both",
+                              cache=True)
+        if graph.directed:
+            deg = graph.out_degrees().withColumnRenamed("out_degree", "deg")
+        else:
+            deg = graph.degrees().withColumnRenamed("degree", "deg")
+        deg = deg.persist(StorageLevel.MEMORY_AND_DISK)
+        row = deg.agg(F.sum("deg").alias("t"),
+                      F.count(F.lit(1)).alias("n")).collect()[0]
+        avg = (row["t"] or 0) / row["n"] if row["n"] else 1.0
+        state = deg.select("id", F.lit(0.0).alias("rank"))
+        state = state.persist(StorageLevel.MEMORY_AND_DISK)
+        for step in range(max_iter):
+            contribs = (
+                adj.join(state.withColumnRenamed("id", "src"), "src")
+                .select(
+                    F.explode("dst_list").alias("id"),
+                    (F.col("rank") / (F.col("degree") + F.lit(avg))).alias("c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("c").alias("msum"))
+            )
+            new_state = (
+                deg.select("id")
+                .join(contribs, "id", "left")
+                .select(
+                    "id",
+                    (damping * F.coalesce("msum", F.lit(0.0))
+                     + (1.0 - damping)).alias("rank"),
+                )
+            )
+            new_state = maybe_truncate_lineage(
+                new_state.persist(StorageLevel.MEMORY_AND_DISK), step, 5
+            )
+            new_state.count()
+            state.unpersist()
+            state = new_state
+        return state.select("id", "rank")
+
+
 def _pagerank_loop(
     graph: Graph,
     alpha: float,

@@ -99,3 +99,36 @@ def triangles(graph: Graph) -> DataFrame:
 def global_triangle_count(graph: Graph) -> int:
     """FLASH global variant (``apps/flash/subgraph/triangle.h:46-70``)."""
     return triangle_list(graph).count()
+
+
+def rectangle_count(graph: Graph) -> int:
+    """Global 4-cycle (rectangle) count (reference
+    ``apps/flash/subgraph/rectangle.h``) via the diagonal-wedge
+    identity: for each unordered vertex pair (a, c) with W common
+    neighbors, every 2-subset of those neighbors closes one 4-cycle
+    whose diagonals are (a, c) — so Σ C(W, 2) over pairs counts each
+    rectangle exactly twice (once per diagonal).
+
+    Spark shape: one self-join of the symmetrized edges on the middle
+    vertex (wedges a-b-c with a < c), one (a, c) count aggregation
+    (map-side combined), one scalar sum — no 4-way join ever
+    materializes.  Work is O(Σ deg²), the same wedge bound the
+    triangle counter pays."""
+    sym = graph.symmetrized_edges().select("src", "dst")
+    wedges = (
+        sym.alias("x")
+        .join(sym.alias("y"), F.col("x.dst") == F.col("y.src"))
+        .where(F.col("x.src") < F.col("y.dst"))
+        .select(F.col("x.src").alias("a"), F.col("y.dst").alias("c"))
+    )
+    pair_counts = wedges.groupBy("a", "c").agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    # stay in integer arithmetic: Σ w(w-1) = 2·Σ C(w,2) = 4·#rect
+    total = (
+        pair_counts.agg(
+            F.sum(F.col("w") * (F.col("w") - 1)).cast("long").alias("t")
+        ).collect()[0]["t"]
+        or 0
+    )
+    return int(total) // 4

@@ -146,3 +146,84 @@ def test_mis_properties_and_determinism(spark):
             rem |= nbrs[w] & active
         active -= rem
     assert mis == want
+
+
+def test_articlerank(spark):
+    from graphscope_spark.operators.pagerank import articlerank
+
+    g = make_graph(spark, VS, ES)
+    out = defaultdict(list)
+    for u, v in ES:
+        out[u].append(v)
+    n = len(VS)
+    avg = sum(len(out[v]) for v in VS) / n
+    d = 0.85
+    r = dict.fromkeys(VS, 0.0)
+    for _ in range(6):
+        nxt = dict.fromkeys(VS, 0.0)
+        for u in VS:
+            if out[u]:
+                share = d * r[u] / (len(out[u]) + avg)
+                for v in out[u]:
+                    nxt[v] += share
+        r = {v: nxt[v] + (1 - d) for v in VS}
+    got = {row["id"]: row["rank"]
+           for row in articlerank(g, max_iter=6).collect()}
+    for v in VS:
+        assert math.isclose(got[v], r[v], abs_tol=1e-09), v
+
+
+def test_maximal_matching_properties_and_determinism(spark):
+    from graphscope_spark.operators.misc import maximal_matching
+
+    g = make_graph(spark, VS, ES)
+    got = {(r["src"], r["dst"]) for r in maximal_matching(g).collect()}
+    und = {(min(u, v), max(u, v)) for u, v in ES if u != v}
+    assert got <= und
+    # valid matching: no vertex in two pairs
+    seen = set()
+    for u, v in got:
+        assert u not in seen and v not in seen
+        seen.update((u, v))
+    # maximal: every remaining edge touches a matched vertex
+    for u, v in und - got:
+        assert u in seen or v in seen, (u, v)
+
+    # determinism: replay the local-min rounds with the same priorities
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    ep = {e: (h60(f"e:{e[0]}:{e[1]}"), e[0], e[1]) for e in und}
+    active, want = set(und), set()
+    while active:
+        vmin = {}
+        for e in active:
+            for x in e:
+                if x not in vmin or ep[e] < vmin[x]:
+                    vmin[x] = ep[e]
+        winners = {e for e in active
+                   if ep[e] == vmin[e[0]] and ep[e] == vmin[e[1]]}
+        want |= winners
+        mv = {x for e in winners for x in e}
+        active = {e for e in active if e[0] not in mv and e[1] not in mv}
+    assert got == want
+
+
+def test_rectangle_count(spark):
+    from graphscope_spark.operators.triangles import rectangle_count
+
+    g = make_graph(spark, VS, ES)
+    nbrs = defaultdict(set)
+    for u, v in ES:
+        if u != v:
+            nbrs[u].add(v)
+            nbrs[v].add(u)
+    # brute force: unordered 4-cycles
+    want = 0
+    vs = sorted(VS)
+    for i, a in enumerate(vs):
+        for c in vs[i + 1:]:
+            w = len(nbrs[a] & nbrs[c])
+            want += w * (w - 1) // 2
+    want //= 2
+    assert rectangle_count(g) == want

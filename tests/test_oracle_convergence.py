@@ -64,6 +64,9 @@ CASES = {
         lambda: E._diameter_approx_sql(7),
     ),
     "mis": (lambda: E._mis_sql(8), lambda: E._mis_sql(9)),
+    "matching": (
+        lambda: E._matching_sql(12), lambda: E._matching_sql(13)
+    ),
 }
 
 
