@@ -1531,6 +1531,72 @@ SELECT (coalesce(sum(w*(w-1)), 0) / 4)::BIGINT AS rect_count FROM pc"""
 )
 
 
+def q_tri_census(spark, sf_dir):
+    """Directed triangle census (cyclic vs transitive) on the
+    hash-directed co-order graph — every pair carries one arc whose
+    direction is h60 parity, so both types occur (reference
+    ``apps/flash/subgraph/cyclic-triangle.h`` / ``acyclic-triangle.h``)."""
+    from graphscope_spark.functions.text import h60
+    from graphscope_spark.operators.triangles import (
+        directed_triangle_census,
+    )
+
+    verts, dedges = part_edges(spark, sf_dir)
+    key = F.concat(F.lit("d:"), F.col("src").cast("string"),
+                   F.lit(":"), F.col("dst").cast("string"))
+    h = h60(key)
+    e = dedges.select(
+        F.when(h % 2 == 0, F.col("src")).otherwise(F.col("dst")).alias("s2"),
+        F.when(h % 2 == 0, F.col("dst")).otherwise(F.col("src")).alias("d2"),
+    ).select(F.col("s2").alias("src"), F.col("d2").alias("dst"))
+    g = Graph.from_edges(e, directed=True, vertices=verts)
+    cyc, tr = directed_triangle_census(g)
+    return spark.createDataFrame(
+        [(cyc, tr)], "cyclic long, transitive long"
+    )
+
+
+_TRI_CENSUS_SQL = (
+    "WITH " + _G + """,
+h4 AS (SELECT src, dst,
+       ('0x' || substr(md5('d:' || src::VARCHAR || ':' || dst::VARCHAR),
+        1, 15))::BIGINT AS h FROM dedges),
+de4 AS (SELECT CASE WHEN h % 2 = 0 THEN src ELSE dst END AS src,
+               CASE WHEN h % 2 = 0 THEN dst ELSE src END AS dst FROM h4),
+und4 AS (SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM de4 UNION ALL SELECT dst, src FROM de4)),
+sdeg AS (SELECT src AS id, count(*) AS d FROM und4 GROUP BY src),
+o AS (SELECT u.src, u.dst FROM und4 u
+      JOIN sdeg a ON a.id = u.src JOIN sdeg b ON b.id = u.dst
+      WHERE a.d < b.d OR (a.d = b.d AND u.src < u.dst)),
+t AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM o e1 JOIN o e2 ON e2.src = e1.dst
+      JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+fl AS (SELECT t.a, t.b, t.c,
+       CASE WHEN ab.src IS NULL THEN 0 ELSE 1 END AS ab,
+       CASE WHEN ba.src IS NULL THEN 0 ELSE 1 END AS ba,
+       CASE WHEN bc.src IS NULL THEN 0 ELSE 1 END AS bc,
+       CASE WHEN cb.src IS NULL THEN 0 ELSE 1 END AS cb,
+       CASE WHEN ac.src IS NULL THEN 0 ELSE 1 END AS ac,
+       CASE WHEN ca.src IS NULL THEN 0 ELSE 1 END AS ca
+       FROM t
+       LEFT JOIN de4 ab ON ab.src = t.a AND ab.dst = t.b
+       LEFT JOIN de4 ba ON ba.src = t.b AND ba.dst = t.a
+       LEFT JOIN de4 bc ON bc.src = t.b AND bc.dst = t.c
+       LEFT JOIN de4 cb ON cb.src = t.c AND cb.dst = t.b
+       LEFT JOIN de4 ac ON ac.src = t.a AND ac.dst = t.c
+       LEFT JOIN de4 ca ON ca.src = t.c AND ca.dst = t.a)
+SELECT coalesce(sum(CASE WHEN (ab = 1 AND bc = 1 AND ca = 1)
+                      OR (ba = 1 AND cb = 1 AND ac = 1)
+                    THEN 1 ELSE 0 END), 0)::BIGINT AS cyclic,
+       coalesce(sum(CASE WHEN NOT ((ab = 1 AND bc = 1 AND ca = 1)
+                      OR (ba = 1 AND cb = 1 AND ac = 1))
+                    THEN 1 ELSE 0 END), 0)::BIGINT AS transitive
+FROM fl
+WHERE ab + ba = 1 AND bc + cb = 1 AND ac + ca = 1"""
+)
+
+
 def q_densest_sub(spark, sf_dir):
     """Densest-subgraph 2(1+ε) approximation (reference
     ``apps/flash/subgraph/densest-sub-2-approx.h``) on a thinned
@@ -1925,6 +1991,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "matching": (q_matching, _matching_sql(12)),
         "rect_count": (q_rect_count, _RECT_COUNT_SQL),
         "densest_sub": (q_densest_sub, _densest_sub_sql(6)),
+        "tri_census": (q_tri_census, _TRI_CENSUS_SQL),
         "harmonic_sample": (q_harmonic_sample, _harmonic_sample_sql(5)),
         "diameter_approx": (q_diameter_approx, _diameter_approx_sql(6)),
         "mis": (q_mis, _mis_sql(8)),

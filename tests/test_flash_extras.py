@@ -259,3 +259,33 @@ def test_densest_subgraph_approx(spark):
     assert got == bestset
     assert rnd == bestk
     assert math.isclose(density, best, abs_tol=1e-09)
+
+
+def test_directed_triangle_census(spark):
+    from graphscope_spark.operators.triangles import (
+        directed_triangle_census,
+    )
+    from itertools import combinations
+
+    g = make_graph(spark, VS, ES)
+    arcs = {(u, v) for u, v in ES if u != v}
+    nbrs = defaultdict(set)
+    for u, v in arcs:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    want_cyc = want_tr = 0
+    for a, b, c in combinations(sorted(VS), 3):
+        if b in nbrs[a] and c in nbrs[b] and c in nbrs[a]:
+            f = {p: int(p in arcs)
+                 for p in [(a, b), (b, a), (b, c), (c, b), (a, c), (c, a)]}
+            if (f[(a, b)] + f[(b, a)] == 1
+                    and f[(b, c)] + f[(c, b)] == 1
+                    and f[(a, c)] + f[(c, a)] == 1):
+                cyc = ((f[(a, b)] and f[(b, c)] and f[(c, a)])
+                       or (f[(b, a)] and f[(c, b)] and f[(a, c)]))
+                if cyc:
+                    want_cyc += 1
+                else:
+                    want_tr += 1
+    got_cyc, got_tr = directed_triangle_census(g)
+    assert (got_cyc, got_tr) == (want_cyc, want_tr)
