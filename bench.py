@@ -59,7 +59,10 @@ def main() -> None:
     t0 = time.time()
     from graphscope_spark.graph import Graph
 
-    gm, _vmap = Graph.from_string_edges(edges, "src_repo", "dst_repo")
+    # tiny graph: a handful of partitions avoids paying 32-task
+    # scheduling per superstep for a few thousand edges
+    gm, _vmap = Graph.from_string_edges(edges, "src_repo", "dst_repo",
+                                        num_partitions=4)
     gm.edges = gm.edges.persist()
     n_mined_edges = gm.edges.count()
     mined_stats: dict = {}
