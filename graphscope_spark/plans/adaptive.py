@@ -22,6 +22,14 @@ repeated):
   labels converge), closeness (growing state union + distinct),
   hits / eigenvector / katz (dense |V|-state join chains).
 
+On the prebuilt-adjacency spark-submit path (``jobs/pagerank_job.py``,
+10-60M edges) the gap widens to ~10x: post-combine shuffle bytes are
+small, so AQE's coalescePartitions heuristic (sized for I/O, ~64MB per
+partition) collapses the message shuffle to a handful of partitions
+and near-serializes the CPU-bound aggregation + state join.  Fixed
+``spark.sql.shuffle.partitions`` with AQE off restores one full wave
+of tasks per superstep.
+
 At cluster scale the same reasoning holds — where the superstep
 shuffle is stable, `spark.sql.shuffle.partitions` sized once beats
 per-round adaptive re-planning — but operators accept

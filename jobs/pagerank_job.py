@@ -75,17 +75,33 @@ def main() -> None:
         "pagerank-job", shuffle_partitions=args.shuffle_partitions
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # fixed-shape superstep loop: AQE's per-round re-planning measured
+    # up to 10x per-superstep overhead on the prebuilt-adjacency path
+    # (see plans/adaptive.py); the shuffle size is stable across
+    # rounds, so partitions are sized once via --shuffle-partitions
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     cores = args.cores or spark.sparkContext.defaultParallelism
 
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     t0 = time.time()
     if args.adj:
-        adj = spark.read.parquet(args.adj).persist()
+        # repartition ONCE by src and persist: a parquet scan has no
+        # known partitioning, so without this the per-round state join
+        # re-shuffles the multi-GB adjacency EVERY superstep — the
+        # single biggest cost at 60M edges.  With the cached copy hash
+        # partitioned on src (and state partitioned on id from the
+        # previous round's aggregation), the join is co-located.
+        adj = spark.read.parquet(args.adj).repartition(
+            n_part, "src"
+        ).persist()
         # vertex base from the adjacency's own key set: every vertex in
         # the synthetic graph appears as a src (uniform src draw)
         base_v = adj.select(
             F.col("src").alias("id"),
             F.col("degree").cast("long").alias("deg"),
-        ).withColumn("dangling", F.col("deg") == 0).persist()
+        ).withColumn("dangling", F.col("deg") == 0).repartition(
+            n_part, "id"
+        ).persist()
     else:
         if args.edges:
             edges = spark.read.parquet(args.edges).select("src", "dst")
