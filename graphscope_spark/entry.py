@@ -1538,6 +1538,24 @@ SELECT (coalesce(sum(w*(w-1)), 0) / 4)::BIGINT AS rect_count FROM pc"""
 )
 
 
+def q_k4_count(spark, sf_dir):
+    """Global 4-clique count (reference flash k-clique, k=4)."""
+    from graphscope_spark.operators.triangles import k4_count
+
+    v = k4_count(part_graph(spark, sf_dir))
+    return spark.createDataFrame([(int(v),)], "k4_count long")
+
+
+_K4_COUNT_SQL = (
+    "WITH " + _G + ",\n" + _TRI + """,
+k4 AS (SELECT 1 FROM t
+       JOIN o da ON da.src = t.a
+       JOIN o db ON db.src = t.b AND db.dst = da.dst
+       JOIN o dc ON dc.src = t.c AND dc.dst = da.dst)
+SELECT count(*)::BIGINT AS k4_count FROM k4"""
+)
+
+
 def q_tri_census(spark, sf_dir):
     """Directed triangle census (cyclic vs transitive) on the
     hash-directed co-order graph — every pair carries one arc whose
@@ -1999,6 +2017,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "rect_count": (q_rect_count, _RECT_COUNT_SQL),
         "densest_sub": (q_densest_sub, _densest_sub_sql(6)),
         "tri_census": (q_tri_census, _TRI_CENSUS_SQL),
+        "k4_count": (q_k4_count, _K4_COUNT_SQL),
         "harmonic_sample": (q_harmonic_sample, _harmonic_sample_sql(5)),
         "diameter_approx": (q_diameter_approx, _diameter_approx_sql(6)),
         "mis": (q_mis, _mis_sql(8)),

@@ -101,6 +101,30 @@ def global_triangle_count(graph: Graph) -> int:
     return triangle_list(graph).count()
 
 
+def k4_count(graph: Graph) -> int:
+    """Global 4-clique count (reference
+    ``apps/flash/subgraph/k-clique.h`` with k=4): extend each oriented
+    triangle (a, b, c) — already in (degree, id) topological order —
+    by a fourth vertex d that is an oriented out-neighbor of all
+    three.  The orientation is acyclic, so every K4 is found exactly
+    once.  Work = |triangles| × oriented-degree joins, still bounded
+    by the O(m^1.5) wedge argument per level."""
+    e = oriented_edges(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tris = e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
+    da = e.select(F.col("src").alias("a"), F.col("dst").alias("d"))
+    db = e.select(F.col("src").alias("b"), F.col("dst").alias("d"))
+    dc = e.select(F.col("src").alias("c"), F.col("dst").alias("d"))
+    k4 = (
+        tris.join(da, "a")
+        .join(db, ["b", "d"])
+        .join(dc, ["c", "d"])
+    )
+    return int(k4.count())
+
+
 def directed_triangle_census(graph: Graph) -> tuple[int, int]:
     """``(cyclic, transitive)`` counts of directed triangles
     (reference ``apps/flash/subgraph/cyclic-triangle.h`` /

@@ -289,3 +289,22 @@ def test_directed_triangle_census(spark):
                     want_tr += 1
     got_cyc, got_tr = directed_triangle_census(g)
     assert (got_cyc, got_tr) == (want_cyc, want_tr)
+
+
+def test_k4_count(spark):
+    from graphscope_spark.operators.triangles import k4_count
+    from itertools import combinations
+
+    g = make_graph(spark, VS, ES)
+    nbrs = defaultdict(set)
+    for u, v in ES:
+        if u != v:
+            nbrs[u].add(v)
+            nbrs[v].add(u)
+    want = sum(
+        1
+        for a, b, c, d in combinations(sorted(VS), 4)
+        if b in nbrs[a] and c in nbrs[a] and d in nbrs[a]
+        and c in nbrs[b] and d in nbrs[b] and d in nbrs[c]
+    )
+    assert k4_count(g) == want
