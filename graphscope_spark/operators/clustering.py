@@ -219,7 +219,15 @@ def densest_subgraph_approx(
 
 def kcore(graph: Graph, k: int, max_iter: int = 10_000) -> DataFrame:
     """``(id long, in_kcore int)`` — 1 if v survives k-core peeling
-    (reference ``kcore.h`` / ``kcore_context.h:31-56``)."""
+    (reference ``kcore.h`` / ``kcore_context.h:31-56``).  AQE pinned
+    off for the peel loop (~30% measured; see ``plans.adaptive``)."""
+    from graphscope_spark.plans.adaptive import superstep_conf
+
+    with superstep_conf(graph.vertices.sparkSession, False):
+        return _kcore_loop(graph, k, max_iter)
+
+
+def _kcore_loop(graph: Graph, k: int, max_iter: int) -> DataFrame:
     edges = graph.symmetrized_edges().select("src", "dst").persist(
         StorageLevel.MEMORY_AND_DISK
     )
