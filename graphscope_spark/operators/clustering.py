@@ -266,11 +266,23 @@ def _kcore_loop(graph: Graph, k: int, max_iter: int) -> DataFrame:
 
 def kshell(graph: Graph, k: int) -> DataFrame:
     """``(id long, in_kshell int)`` — in k-core but not (k+1)-core
-    (reference ``kshell.h``)."""
+    (reference ``kshell.h``).
+
+    The (k+1)-core is a subset of the k-core, so its peel starts from
+    the k-core's INDUCED subgraph instead of the full graph — the
+    second peel touches only the (typically much smaller) core,
+    roughly halving the work of two independent peels."""
     a = kcore(graph, k).withColumnRenamed("in_kcore", "a")
-    b = kcore(graph, k + 1).withColumnRenamed("in_kcore", "b")
-    return a.join(b, "id").select(
-        "id", ((F.col("a") == 1) & (F.col("b") == 0)).cast("int").alias("in_kshell")
+    core_members = a.where(F.col("a") == 1).select("id")
+    sub = graph.induce_subgraph(core_members)
+    b = kcore(sub, k + 1).withColumnRenamed("in_kcore", "b")
+    return (
+        a.join(b, "id", "left")
+        .select(
+            "id",
+            ((F.col("a") == 1) & (F.coalesce("b", F.lit(0)) == 0))
+            .cast("int").alias("in_kshell"),
+        )
     )
 
 
