@@ -396,6 +396,49 @@ def q_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_minhash_groups(spark, sf_dir):
+    """Near-duplicate GROUPS: verified MinHash-LSH pairs → connected
+    components → canonical min-id representative per doc — the keep
+    decision a dedup pipeline actually makes."""
+    from graphscope_spark.functions.dedup import minhash_dedup_groups
+
+    return minhash_dedup_groups(
+        load(spark, sf_dir, "documents"),
+        num_hashes=12, bands=4, n=3, threshold=0.05,
+    )
+
+
+def _minhash_groups_sql(rounds: int = 8) -> str:
+    """Pairs oracle nested as a CTE, then min-label components over
+    the (tiny) pair graph, unrolled ``rounds`` times."""
+    pairs_q = _minhash_lsh_sql(12, 4)
+    parts = [
+        f"pairs AS ({pairs_q})",
+        "pe AS (SELECT id_a AS src, id_b AS dst FROM pairs)",
+        "pm AS (SELECT DISTINCT id FROM ("
+        "SELECT src AS id FROM pe UNION ALL SELECT dst FROM pe))",
+        "psym AS (SELECT src, dst FROM pe"
+        " UNION ALL SELECT dst, src FROM pe)",
+        "c0 AS (SELECT id, id AS comp FROM pm)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"c{k + 1} AS (SELECT c.id,"
+            f" least(c.comp, coalesce(m.mn, c.comp)) AS comp\n"
+            f"        FROM c{k} c LEFT JOIN (\n"
+            f"          SELECT e.dst AS id, min(c2.comp) AS mn\n"
+            f"          FROM psym e JOIN c{k} c2 ON e.src = c2.id"
+            f" GROUP BY e.dst\n"
+            f"        ) m ON m.id = c.id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS group_id
+FROM documents d LEFT JOIN c{rounds} c ON c.id = d.doc_id"""
+    )
+
+
 def q_simhash(spark, sf_dir):
     from graphscope_spark.functions.dedup import simhash
 
@@ -2118,6 +2161,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         ),
         "ngram_jaccard": (q_ngram_jaccard, _ngram_jaccard_sql()),
         "minhash_lsh": (q_minhash_lsh, _minhash_lsh_sql()),
+        "minhash_groups": (q_minhash_groups, _minhash_groups_sql(8)),
         "simhash": (q_simhash, _simhash_sql()),
         "embedding_topk": (q_embedding_topk, _embedding_topk_sql()),
         "embedding_near_dup": (

@@ -235,6 +235,48 @@ def minhash_dedup_pairs(
     )
 
 
+def minhash_dedup_groups(
+    df: DataFrame,
+    num_hashes: int = 12,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, group_id)`` — near-duplicate GROUPS: the verified
+    MinHash-LSH pairs form a graph whose connected components are the
+    dup clusters; ``group_id`` = min doc id in the cluster (the canonical
+    representative a dedup pipeline keeps).  Docs with no near-dup get
+    their own id.
+
+    This is the operator a training-data pipeline actually consumes —
+    pairs alone over-count (A≈B≈C yields 2-3 pairs but ONE keep
+    decision).  Composition: LSH candidate generation → pair verify →
+    min-label WCC over the (tiny, sparse) pair graph — the component
+    step runs on |pairs| rows, not |docs|."""
+    from graphscope_spark.graph import Graph
+    from graphscope_spark.operators.wcc import wcc
+
+    pairs = minhash_dedup_pairs(
+        df, num_hashes, bands, n, threshold, id_col, text_col
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    members = (
+        pairs.select(F.col("src").alias("id"))
+        .unionByName(pairs.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    g = Graph.from_edges(pairs, directed=False, vertices=members)
+    comp = wcc(g).select(
+        F.col("id").alias(id_col), F.col("comp").alias("group_id")
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(comp, id_col, "left")
+        .select(id_col, F.coalesce("group_id", F.col(id_col)).alias("group_id"))
+    )
+
+
 # ----------------------------------------------------------- simhash
 SIMHASH_BITS = 60
 

@@ -284,3 +284,37 @@ def test_multimodal_pipeline(spark, docs_df):
     assert plan.count() == expect
     with pytest.raises(Exception):
         extract_features(media, decode_stub=False).collect()
+
+
+def test_minhash_dedup_groups_vs_union_find(spark, docs_df):
+    from graphscope_spark.functions.dedup import (
+        minhash_dedup_groups,
+        minhash_dedup_pairs,
+    )
+
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(
+            docs_df, num_hashes=12, bands=4, n=2, threshold=0.2
+        ).collect()
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ids = [r[0] for r in docs_df.select("doc_id").collect()]
+    want = {i: find(i) if i in parent else i for i in ids}
+    got = {r["doc_id"]: r["group_id"]
+           for r in minhash_dedup_groups(
+               docs_df, num_hashes=12, bands=4, n=2, threshold=0.2
+           ).collect()}
+    assert got == want

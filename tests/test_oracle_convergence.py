@@ -70,6 +70,10 @@ CASES = {
     "densest_sub": (
         lambda: E._densest_sub_sql(6), lambda: E._densest_sub_sql(7)
     ),
+    "minhash_groups": (
+        lambda: E._minhash_groups_sql(8),
+        lambda: E._minhash_groups_sql(9),
+    ),
 }
 
 
