@@ -1864,6 +1864,80 @@ def _betweenness_sample_sql(levels: int = 6) -> str:
     )
 
 
+def q_edge_betweenness_sample(spark, sf_dir):
+    """Brandes EDGE betweenness over the undirected co-order graph
+    for the source sample id % 97 == 0 (unnormalized, per-edge
+    double-count halved, src < dst canonical)."""
+    from graphscope_spark.operators.betweenness import (
+        edge_betweenness_centrality,
+    )
+
+    g = part_graph_undirected(spark, sf_dir)
+    srcs = g.vertices.where(F.col("id") % 97 == 0)
+    r = edge_betweenness_centrality(g, sources=srcs, normalized=False)
+    return r.select("src", "dst", F.round("eb", 6).alias("eb"))
+
+
+def _edge_betweenness_sample_sql(levels: int = 6) -> str:
+    """Same forward/backward unroll as the vertex oracle, emitting the
+    per-level per-edge dependency terms before vertex aggregation."""
+    parts = [
+        _G,
+        "srcs AS (SELECT id FROM verts WHERE id % 97 = 0)",
+        "lv0 AS (SELECT id AS source, id, 1.0::DOUBLE AS sigma FROM srcs)",
+        "vis0 AS (SELECT source, id FROM lv0)",
+    ]
+    for k in range(1, levels + 1):
+        parts.append(
+            f"cv{k} AS (SELECT f.source, e.dst AS id, sum(f.sigma)"
+            f" AS sigma\n"
+            f"        FROM lv{k - 1} f JOIN sym e ON e.src = f.id\n"
+            f"        GROUP BY f.source, e.dst)"
+        )
+        parts.append(
+            f"lv{k} AS (SELECT c.source, c.id, c.sigma FROM cv{k} c\n"
+            f"        LEFT JOIN vis{k - 1} v ON v.source = c.source"
+            f" AND v.id = c.id\n"
+            f"        WHERE v.id IS NULL)"
+        )
+        parts.append(
+            f"vis{k} AS (SELECT source, id FROM vis{k - 1}\n"
+            f"        UNION ALL SELECT source, id FROM lv{k})"
+        )
+    parts.append(
+        f"d{levels} AS (SELECT source, id, sigma, 0.0::DOUBLE AS delta"
+        f" FROM lv{levels})"
+    )
+    for k in range(levels, 0, -1):
+        parts.append(
+            f"ec{k} AS (SELECT w.source, p.id AS v, w.id AS wv,\n"
+            f"          p.sigma / w.sigma * (1.0 + w.delta) AS c\n"
+            f"        FROM d{k} w JOIN sym e ON e.dst = w.id\n"
+            f"        JOIN lv{k - 1} p ON p.source = w.source"
+            f" AND p.id = e.src)"
+        )
+        parts.append(
+            f"ct{k} AS (SELECT source, v AS id, sum(c) AS contrib"
+            f" FROM ec{k} GROUP BY source, v)"
+        )
+        parts.append(
+            f"d{k - 1} AS (SELECT p.source, p.id, p.sigma,\n"
+            f"          coalesce(c.contrib, 0.0) AS delta\n"
+            f"        FROM lv{k - 1} p LEFT JOIN ct{k} c"
+            f" ON c.source = p.source AND c.id = p.id)"
+        )
+    alle = "\n        UNION ALL ".join(
+        f"SELECT v, wv, c FROM ec{k}" for k in range(1, levels + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f",\nalle AS ({alle})\n"
+        "SELECT least(v, wv) AS src, greatest(v, wv) AS dst,\n"
+        "       round(sum(c) / 2.0, 6) AS eb\n"
+        "FROM alle GROUP BY least(v, wv), greatest(v, wv)"
+    )
+
+
 def q_voterank(spark, sf_dir):
     """Top-10 VoteRank seeds.  Elections are sequential, but each one
     is deterministic: the winner is the max 6dp-rounded score with a
@@ -2052,6 +2126,9 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         ),
         "betweenness_sample": (
             q_betweenness_sample, _betweenness_sample_sql(6)
+        ),
+        "edge_betweenness_sample": (
+            q_edge_betweenness_sample, _edge_betweenness_sample_sql(6)
         ),
         "closeness_full": (q_closeness_full, _closeness_full_sql(5)),
         "ppr": (q_ppr, _ppr_sql(10)),

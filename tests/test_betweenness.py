@@ -78,3 +78,63 @@ def test_betweenness_sampled_normalized(spark):
     want = _brandes(VS, ES, True, sources=srcs, normalized=True)
     for v in want:
         assert math.isclose(got[v], want[v], abs_tol=1e-10)
+
+
+def _edge_brandes(vertices, edges, directed, sources=None,
+                  normalized=False):
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    for u, v in set(edges):
+        adj[u].append(v)
+        if not directed:
+            adj[v].append(u)
+    if not directed:
+        for k in adj:
+            adj[k] = sorted(set(adj[k]))
+    eb = defaultdict(float)
+    for s in (sources if sources is not None else vertices):
+        sigma = defaultdict(float)
+        sigma[s] = 1.0
+        dist = {s: 0}
+        preds = defaultdict(list)
+        order = []
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            order.append(u)
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] += sigma[u]
+                    preds[v].append(u)
+        delta = defaultdict(float)
+        for w in reversed(order):
+            for v in preds[w]:
+                c = sigma[v] / sigma[w] * (1.0 + delta[w])
+                key = (v, w) if directed else (min(v, w), max(v, w))
+                eb[key] += c
+                delta[v] += c
+    n = len(vertices)
+    if normalized and n > 1:
+        scale = 1.0 / (n * (n - 1))
+    else:
+        scale = 1.0 if directed else 0.5
+    return {k: v * scale for k, v in eb.items()}
+
+
+@pytest.mark.parametrize("directed", [True, False])
+def test_edge_betweenness(spark, directed):
+    from graphscope_spark.operators.betweenness import (
+        edge_betweenness_centrality,
+    )
+
+    g = make_graph(spark, VS, ES, directed=directed)
+    got = {(r["src"], r["dst"]): r["eb"]
+           for r in edge_betweenness_centrality(g).collect()}
+    want = _edge_brandes(VS, ES, directed)
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], abs_tol=1e-08), k

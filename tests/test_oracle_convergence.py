@@ -44,6 +44,10 @@ CASES = {
         lambda: E._betweenness_sample_sql(6),
         lambda: E._betweenness_sample_sql(7),
     ),
+    "edge_betweenness_sample": (
+        lambda: E._edge_betweenness_sample_sql(6),
+        lambda: E._edge_betweenness_sample_sql(7),
+    ),
     "scc": (lambda: E._scc_sql(16), lambda: E._scc_sql(17)),
     "sssp_path": (
         lambda: E._sssp_path_sql(8), lambda: E._sssp_path_sql(9)
