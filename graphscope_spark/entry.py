@@ -1043,6 +1043,50 @@ def q_boundary(spark, sf_dir):
     return node_boundary(g, sset).select("id")
 
 
+def q_core_numbers_k3(spark, sf_dir):
+    """Core decomposition capped at k=3: ``(id, core)`` with core =
+    min(core number, 3) — registers the full peeling decomposition
+    (``operators/clustering.core_numbers``) at an oracle-tractable
+    depth; the uncapped variant is pytest-covered."""
+    from graphscope_spark.operators.clustering import core_numbers
+
+    return core_numbers(part_graph(spark, sf_dir), max_k=3).select(
+        "id", "core"
+    )
+
+
+def _core_numbers_k3_sql(rounds: int = 5) -> str:
+    """Three independent k-core membership chains (k = 1, 2, 3);
+    core = highest k whose core contains the vertex."""
+    parts = [_G]
+    for k in (1, 2, 3):
+        parts.append(f"c{k}l0 AS (SELECT src, dst FROM sym)")
+        for r in range(rounds):
+            parts.append(
+                f"c{k}p{r} AS (SELECT src AS id FROM c{k}l{r}"
+                f" GROUP BY src HAVING count(*) >= {k})"
+            )
+            parts.append(
+                f"c{k}l{r + 1} AS (SELECT a.src, a.dst FROM c{k}l{r} a\n"
+                f"        JOIN c{k}p{r} x ON x.id = a.src"
+                f" JOIN c{k}p{r} y ON y.id = a.dst)"
+            )
+        parts.append(
+            f"core{k} AS (SELECT DISTINCT src AS id FROM c{k}l{rounds})"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + """
+SELECT v.id, CASE WHEN c3.id IS NOT NULL THEN 3
+                  WHEN c2.id IS NOT NULL THEN 2
+                  WHEN c1.id IS NOT NULL THEN 1
+                  ELSE 0 END::BIGINT AS core
+FROM verts v LEFT JOIN core3 c3 ON c3.id = v.id
+LEFT JOIN core2 c2 ON c2.id = v.id
+LEFT JOIN core1 c1 ON c1.id = v.id"""
+    )
+
+
 def q_kshell(spark, sf_dir):
     from graphscope_spark.operators.clustering import kshell
 
@@ -2214,6 +2258,9 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
               "WHERE e.src % 17 = 0 AND e.dst % 17 <> 0",
         ),
         "kshell": (q_kshell, _kshell_sql(80, 20)),
+        "core_numbers_k3": (
+            q_core_numbers_k3, _core_numbers_k3_sql(5)
+        ),
         "scc": (q_scc, _scc_sql(16)),
         "lpa_u2i": (q_lpa_u2i, _lpa_u2i_sql(5)),
         "sssp": (q_sssp, _sssp_sql(8)),

@@ -37,6 +37,10 @@ CASES = {
     "kcore": (
         lambda: E._kcore_sql(80, 20), lambda: E._kcore_sql(80, 21)
     ),
+    "core_numbers_k3": (
+        lambda: E._core_numbers_k3_sql(5),
+        lambda: E._core_numbers_k3_sql(6),
+    ),
     "kshell": (
         lambda: E._kshell_sql(80, 20), lambda: E._kshell_sql(80, 21)
     ),
