@@ -1975,18 +1975,21 @@ def _edge_betweenness_sample_sql(levels: int = 6) -> str:
     )
     return (
         "WITH " + ",\n".join(parts)
-        + f",\nalle AS ({alle})\n"
-        "SELECT least(v, wv) AS src, greatest(v, wv) AS dst,\n"
-        "       round(sum(c) / 2.0, 6) AS eb\n"
-        "FROM alle GROUP BY least(v, wv), greatest(v, wv)"
+        + f",\nalle AS ({alle}),\n"
+        "eb AS (SELECT least(v, wv) AS src, greatest(v, wv) AS dst,\n"
+        "       sum(c) / 2.0 AS eb\n"
+        "       FROM alle GROUP BY least(v, wv), greatest(v, wv))\n"
+        "SELECT e.src, e.dst, round(coalesce(x.eb, 0.0), 6) AS eb\n"
+        "FROM dedges e LEFT JOIN eb x ON x.src = e.src AND x.dst = e.dst"
     )
 
 
 def q_voterank(spark, sf_dir):
     """Top-10 VoteRank seeds.  Elections are sequential, but each one
-    is deterministic: the winner is the max 6dp-rounded score with a
-    min-id tie-break, so the unrolled SQL oracle reproduces the exact
-    election sequence."""
+    is deterministic: the winner is the max floor(score*1e6+0.5)
+    quantized score with a min-id tie-break — one IEEE expression both
+    engines evaluate identically — so the unrolled SQL oracle
+    reproduces the exact election sequence."""
     from graphscope_spark.operators.misc import voterank
 
     return voterank(part_graph(spark, sf_dir), num_seeds=10)
@@ -1995,7 +1998,7 @@ def q_voterank(spark, sf_dir):
 def _voterank_sql(num_seeds: int = 10) -> str:
     """Unrolled sequential elections on the directed co-order graph.
     ``dampen = n/(2m)`` (NetworkX ⟨k⟩ counts both endpoints), ability
-    floored at 0, winner = argmax(round(score, 6)) then min id."""
+    floored at 0, winner = argmax(floor(score*1e6+0.5)) then min id."""
     parts = [
         _G,
         "nn AS (SELECT count(*)::DOUBLE AS n FROM verts)",
@@ -2016,7 +2019,8 @@ def _voterank_sql(num_seeds: int = 10) -> str:
         cond = (excl + " AND " if excl else "") + "s.score > 0"
         parts.append(
             f"w{r} AS (SELECT s.id FROM s{r} s WHERE {cond}\n"
-            f"        ORDER BY round(s.score, 6) DESC, s.id ASC LIMIT 1)"
+            f"        ORDER BY floor(s.score*1e6 + 0.5)::BIGINT DESC,"
+            f" s.id ASC LIMIT 1)"
         )
         parts.append(
             f"a{r + 1} AS (SELECT a.id, CASE\n"

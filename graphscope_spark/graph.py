@@ -100,9 +100,11 @@ class Graph:
         Returns ``(graph, vmap)`` where ``vmap(oid string, id long)``.
         """
         spark = edges.sparkSession
-        nparts = num_partitions or int(
-            spark.conf.get("spark.sql.shuffle.partitions")
-        )
+        # id assignment depends on the oid→partition hash, so a FIXED
+        # default keeps ids stable across sessions regardless of
+        # spark.sql.shuffle.partitions; pass num_partitions explicitly
+        # to size for the cluster (ids change with it, deterministically)
+        nparts = num_partitions or 64
         oids = (
             edges.select(F.col(src_col).alias("oid"))
             .unionByName(edges.select(F.col(dst_col).alias("oid")))
@@ -128,7 +130,10 @@ class Graph:
                  - 1).cast("long"),
             )
             .select("oid", "id")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        vmap.count()        # materialize the dictionary once ...
+        tagged.unpersist()  # ... then drop the tagged oid cache
         e = (
             edges.join(vmap.withColumnRenamed("oid", src_col), src_col)
             .withColumnRenamed("id", "src")

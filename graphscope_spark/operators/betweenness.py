@@ -136,8 +136,18 @@ def _edge_betweenness(
             .localCheckpoint(eager=True)
         )
 
+    # canonical edge set: every graph edge appears in the output, with
+    # eb = 0.0 for edges no sampled shortest path crosses (NetworkX
+    # reports those as 0.0, not absent)
+    if directed:
+        canon = edges.distinct()
+    else:
+        canon = edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        ).distinct()
     if not edge_parts:
-        return spark.createDataFrame([], "src long, dst long, eb double")
+        return canon.withColumn("eb", F.lit(0.0))
     acc = edge_parts[0]
     for p in edge_parts[1:]:
         acc = acc.unionByName(p)
@@ -155,8 +165,11 @@ def _edge_betweenness(
         # NetworkX: 1/(n(n-1)) directed; 2/(n(n-1)) undirected applied
         # to the HALVED sum — both reduce to 1/(n(n-1)) of the raw sum
         scale = 1.0 / float(n * (n - 1))
-    return pairs.groupBy("src", "dst").agg(
+    scored = pairs.groupBy("src", "dst").agg(
         (F.sum("c") * scale).alias("eb")
+    )
+    return canon.join(scored, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("eb", F.lit(0.0)).alias("eb")
     )
 
 

@@ -279,11 +279,17 @@ def voterank(graph: Graph, num_seeds: int = 10) -> DataFrame:
                 [(int(i),) for i in elected_ids], "id long"
             )
             scores = scores.join(banned, "id", "left_anti")
-        # argmax on the 6dp-ROUNDED score (then min id): makes the
+        # argmax on the 6dp-quantized score (then min id): makes the
         # election reproducible across engines — fp summation-order
-        # differences below 1e-6 can no longer flip the winner
+        # differences below 1e-6 can no longer flip the winner.  The
+        # quantizer is floor(score*1e6 + 0.5) on positive scores: one
+        # IEEE expression both Spark and DuckDB evaluate identically,
+        # with no engine-specific round() tie-break mode in play.
         top = (
-            scores.orderBy(F.desc(F.round("score", 6)), F.asc("id"))
+            scores.orderBy(
+                F.desc(F.floor(F.col("score") * 1e6 + F.lit(0.5))),
+                F.asc("id"),
+            )
             .limit(1).collect()
         )
         if not top or top[0]["score"] <= 0:

@@ -63,6 +63,10 @@ CASES = {
     "apsp_sample": (
         lambda: E._apsp_sample_sql(5), lambda: E._apsp_sample_sql(6)
     ),
+    "sssp_has_path": (
+        lambda: E._sssp_has_path_sql(10),
+        lambda: E._sssp_has_path_sql(11),
+    ),
     "harmonic_sample": (
         lambda: E._harmonic_sample_sql(5),
         lambda: E._harmonic_sample_sql(6),
