@@ -111,19 +111,27 @@ def main() -> None:
              stats=conv_stats).limit(1).collect()
     timings["pagerank_conv"] = time.time() - t0
 
-    # -- wcc / cdlp / triangles
-    t0 = time.time()
-    wcc(g).agg(F.countDistinct("comp")).collect()
-    timings["wcc"] = time.time() - t0
+    # -- wcc / cdlp / triangles: run 2x each like pagerank — the min is
+    # scored and the spread reported, so the observed ±40% shared-host
+    # variance is visible instead of silently distorting the totals
+    spreads: dict[str, list[float]] = {}
+
+    def timed2(name, fn):
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            runs.append(time.time() - t0)
+        timings[name] = min(runs)
+        spreads[name] = [round(x, 3) for x in runs]
+
+    timed2("wcc", lambda: wcc(g).agg(F.countDistinct("comp")).collect())
 
     gu = part_graph_undirected(spark, sf_dir)
-    t0 = time.time()
-    cdlp(gu, max_round=10).agg(F.countDistinct("label")).collect()
-    timings["cdlp"] = time.time() - t0
-
-    t0 = time.time()
-    triangles(g).agg(F.sum("tricnt")).collect()
-    timings["triangles"] = time.time() - t0
+    timed2("cdlp", lambda: cdlp(gu, max_round=10)
+           .agg(F.countDistinct("label")).collect())
+    timed2("triangles",
+           lambda: triangles(g).agg(F.sum("tricnt")).collect())
 
     # -- training-data pipeline ops over the documents table at this sf
     from graphscope_spark.functions.dedup import minhash_dedup_pairs
@@ -151,6 +159,7 @@ def main() -> None:
         "pagerank_edges_per_sec_per_superstep": round(pr_eps),
         "pagerank_rounds": PR_ROUNDS,
         "pagerank_runs": [round(x, 3) for x in pr_runs],
+        "spreads": spreads,
         "pagerank_supersteps_to_1e6": conv_stats.get("rounds"),
         "documents": {"rows": n_docs, "minhash_dup_pairs": n_dups},
         "mined_graph": {

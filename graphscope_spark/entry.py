@@ -93,6 +93,43 @@ def part_graph_undirected(spark: SparkSession, sf_dir: str) -> Graph:
     return part_graph(spark, sf_dir).undirected()
 
 
+def part_graph_min2(spark: SparkSession, sf_dir: str) -> Graph:
+    """Thresholded co-order graph: pairs co-ordered in ≥ 2 DISTINCT
+    orders, undirected.  The full co-order graph is one dense
+    biconnected blob (0 bridges / 0 articulation points at every SF);
+    this thresholded variant keeps the realistic sparse backbone —
+    8 components, hundreds of bridges and cut vertices at sf0.01 — so
+    the connectivity-structure queries have non-trivial answers."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    lists = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pairs = (
+        lists.select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ps,"
+                    " x -> transform(ps, y -> struct(x as src, y as dst)))),"
+                    " p -> p.src < p.dst)"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+    )
+    dedges = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("src", "dst")
+    )
+    verts = (
+        dedges.select(F.col("src").alias("id"))
+        .unionByName(dedges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return Graph.from_edges(dedges, directed=False, vertices=verts)
+
+
 # SQL prelude defining the same graph for DuckDB (views pre-registered)
 _G = """\
 li AS (SELECT l_orderkey, l_partkey FROM lineitem),
@@ -100,6 +137,22 @@ verts AS (SELECT DISTINCT l_partkey AS id FROM li),
 dedges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
            FROM li a JOIN li b
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+sym AS (SELECT src, dst FROM dedges
+        UNION ALL SELECT dst AS src, src AS dst FROM dedges)"""
+
+# min2 variant: pairs co-ordered in >= 2 distinct orders (sparse
+# backbone with real bridge/articulation structure; the full co-order
+# graph is one biconnected blob)
+_G2 = """\
+li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+pair1 AS (SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS src,
+                 b.l_partkey AS dst
+          FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+dedges AS (SELECT src, dst FROM (
+           SELECT src, dst, count(*) AS c FROM pair1 GROUP BY src, dst)
+           WHERE c >= 2),
+verts AS (SELECT src AS id FROM dedges UNION SELECT dst FROM dedges),
 sym AS (SELECT src, dst FROM dedges
         UNION ALL SELECT dst AS src, src AS dst FROM dedges)"""
 
@@ -1643,6 +1696,575 @@ SELECT count(*)::BIGINT AS k4_count FROM k4"""
 )
 
 
+def q_k5_count(spark, sf_dir):
+    """Global 5-clique count via the generic oriented k-clique
+    extension (reference ``apps/flash/subgraph/k-clique.h``)."""
+    from graphscope_spark.operators.triangles import k_clique_count
+
+    v = k_clique_count(part_graph(spark, sf_dir), 5)
+    return spark.createDataFrame([(int(v),)], "k5_count long")
+
+
+_K5_COUNT_SQL = (
+    "WITH " + _G + ",\n" + _TRI + """,
+k5 AS (SELECT 1 FROM t
+       JOIN o da ON da.src = t.a
+       JOIN o db ON db.src = t.b AND db.dst = da.dst
+       JOIN o dc ON dc.src = t.c AND dc.dst = da.dst
+       JOIN o ea ON ea.src = t.a
+       JOIN o eb ON eb.src = t.b AND eb.dst = ea.dst
+       JOIN o ec ON ec.src = t.c AND ec.dst = ea.dst
+       JOIN o ed ON ed.src = da.dst AND ed.dst = ea.dst)
+SELECT count(*)::BIGINT AS k5_count FROM k5"""
+)
+
+
+def q_bfs_pred(spark, sf_dir):
+    """BFS predecessor tree from the min part key (reference
+    ``apps/bfs/bfs_generic.h`` ``output_format="predecessors"``),
+    min-id parent tie-break for determinism."""
+    from graphscope_spark.operators.traversal import bfs_tree
+
+    g = part_graph(spark, sf_dir)
+    source = g.vertices.agg(F.min("id")).collect()[0][0]
+    return bfs_tree(g, int(source), "predecessors", symmetrize=True)
+
+
+def _bfs_pred_sql(rounds: int = 6) -> str:
+    parts = [
+        _G,
+        "b0 AS (SELECT (SELECT min(id) FROM verts) AS id, 0 AS depth)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"b{k + 1} AS (SELECT id, min(depth) AS depth FROM (\n"
+            f"          SELECT id, depth FROM b{k}\n"
+            f"          UNION ALL\n"
+            f"          SELECT e.dst AS id, b.depth + 1 AS depth\n"
+            f"          FROM b{k} b JOIN sym e ON e.src = b.id) GROUP BY id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT b.id, min(e.src) AS pred\n"
+        f"FROM b{rounds} b JOIN sym e ON e.dst = b.id\n"
+        f"JOIN b{rounds} p ON p.id = e.src AND p.depth + 1 = b.depth\n"
+        f"WHERE b.depth > 0 GROUP BY b.id"
+    )
+
+
+def _forest_sql_parts(wrounds: int, depth: int) -> list[str]:
+    """Shared oracle prelude: BFS forest over the undirected co-order
+    graph — ``comp`` (min-label wcc, ``wrounds`` unroll), roots,
+    ``bf{depth}`` (id, depth) multi-source BFS, ``par`` (min-id
+    parent), ``treeb`` (tree edges, both orientations), ``nt``
+    (non-tree edges, symmetric).  Runs on the min2 thresholded
+    graph (``_G2``) — the variant with non-trivial bridge structure."""
+    parts = [_G2, "s0 AS (SELECT id, id AS comp FROM verts)"]
+    for k in range(wrounds):
+        parts.append(
+            f"s{k + 1} AS (SELECT s.id,"
+            f" least(s.comp, coalesce(m.mn, s.comp)) AS comp\n"
+            f"        FROM s{k} s LEFT JOIN (\n"
+            f"          SELECT e.dst AS id, min(s2.comp) AS mn\n"
+            f"          FROM sym e JOIN s{k} s2 ON e.src = s2.id"
+            f" GROUP BY e.dst\n"
+            f"        ) m ON m.id = s.id)"
+        )
+    parts.append(
+        f"bf0 AS (SELECT DISTINCT comp AS id, 0 AS depth FROM s{wrounds})"
+    )
+    for k in range(depth):
+        parts.append(
+            f"bf{k + 1} AS (SELECT id, min(depth) AS depth FROM (\n"
+            f"          SELECT id, depth FROM bf{k}\n"
+            f"          UNION ALL\n"
+            f"          SELECT e.dst AS id, b.depth + 1 AS depth\n"
+            f"          FROM bf{k} b JOIN sym e ON e.src = b.id)"
+            f" GROUP BY id)"
+        )
+    parts.append(
+        f"par AS (SELECT b.id, min(e.src) AS pred, min(b.depth) AS depth\n"
+        f"        FROM bf{depth} b JOIN sym e ON e.dst = b.id\n"
+        f"        JOIN bf{depth} p ON p.id = e.src"
+        f" AND p.depth + 1 = b.depth\n"
+        f"        WHERE b.depth > 0 GROUP BY b.id)"
+    )
+    parts.append(
+        "treeb AS (SELECT pred AS src, id AS dst FROM par\n"
+        "        UNION ALL SELECT id AS src, pred AS dst FROM par)"
+    )
+    parts.append(
+        "nt AS (SELECT e.src, e.dst FROM sym e LEFT JOIN treeb t\n"
+        "        ON t.src = e.src AND t.dst = e.dst WHERE t.src IS NULL)"
+    )
+    return parts
+
+
+def q_bridges(spark, sf_dir):
+    """Bridge edges of the min2-thresholded co-order graph (reference
+    ``apps/flash/connectivity/bridge.h`` semantics; computed by the
+    Tarjan-Vishkin preorder-interval test, see ``operators/bcc.py``)."""
+    from graphscope_spark.operators.bcc import bridges
+
+    return bridges(part_graph_min2(spark, sf_dir)).select("src", "dst")
+
+
+def _bridges_sql(wrounds: int = 8, depth: int = 6) -> str:
+    """INDEPENDENT oracle: the random-XOR cut test.  Every non-tree
+    edge gets a deterministic 60-bit value (h60 of its canonical
+    pair), placed at both endpoints; a bottom-up per-level XOR gives
+    S(v) = XOR of values of the non-tree edges crossing the
+    (p(v), v) cut — the tree edge is a bridge iff S(v) = 0 (no
+    crossing edges; a false zero needs distinct edge values XORing to
+    0 — the same astronomically unlikely collision in BOTH engines
+    since values are shared).  Different algorithm than the Spark
+    side's interval test, so agreement checks the semantics, not the
+    implementation."""
+    val = _H60.format(
+        "'x:' || least(src, dst)::VARCHAR || ':' || greatest(src, dst)::VARCHAR"
+    )
+    parts = _forest_sql_parts(wrounds, depth)
+    parts.append(
+        f"ntv AS (SELECT src, dst, {val} AS val FROM nt)"
+    )
+    parts.append(
+        "plc AS (SELECT src AS id, bit_xor(val) AS pl FROM ntv"
+        " GROUP BY src)"
+    )
+    # bottom-up XOR by level (levels depth..1; roots excluded)
+    parts.append(
+        f"sx{depth} AS (SELECT b.id, coalesce(p.pl, 0) AS s\n"
+        f"        FROM bf{depth} b LEFT JOIN plc p ON p.id = b.id\n"
+        f"        WHERE b.depth = {depth})"
+    )
+    for d in range(depth - 1, 0, -1):
+        parts.append(
+            f"cx{d} AS (SELECT pr.pred AS id, bit_xor(s.s) AS cx\n"
+            f"        FROM sx{d + 1} s JOIN par pr ON pr.id = s.id"
+            f" GROUP BY pr.pred)"
+        )
+        parts.append(
+            f"sx{d} AS (SELECT b.id,"
+            f" xor(coalesce(p.pl, 0), coalesce(c.cx, 0)) AS s\n"
+            f"        FROM bf{depth} b LEFT JOIN plc p ON p.id = b.id\n"
+            f"        LEFT JOIN cx{d} c ON c.id = b.id\n"
+            f"        WHERE b.depth = {d})"
+        )
+    alls = "\n        UNION ALL ".join(
+        f"SELECT id, s FROM sx{d}" for d in range(1, depth + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f",\nsall AS ({alls})\n"
+        "SELECT least(p.pred, p.id) AS src, greatest(p.pred, p.id) AS dst\n"
+        "FROM par p JOIN sall s ON s.id = p.id WHERE s.s = 0"
+    )
+
+
+def q_cut_points(spark, sf_dir):
+    """Articulation points of the min2-thresholded co-order graph
+    (reference ``apps/flash/connectivity/cut-point.h`` semantics via
+    Tarjan-Vishkin biconnected components)."""
+    from graphscope_spark.operators.bcc import articulation_points
+
+    return articulation_points(part_graph_min2(spark, sf_dir)).select(
+        "id", "is_cut"
+    )
+
+
+def _cut_points_sql(wrounds: int = 8, depth: int = 6,
+                    arounds: int = 8) -> str:
+    """Tarjan-Vishkin unroll: subtree sizes (bottom-up), preorder
+    (top-down window prefix-sums), low/high (bottom-up), auxiliary
+    graph (rules 1+2), min-label components with pointer jumping
+    (``arounds``), then the ≥2-distinct-blocks incidence test."""
+    parts = _forest_sql_parts(wrounds, depth)
+    # subtree sizes, bottom-up
+    parts.append(
+        f"z{depth} AS (SELECT id, 1::BIGINT AS sz FROM bf{depth}"
+        f" WHERE depth = {depth})"
+    )
+    for d in range(depth - 1, -1, -1):
+        parts.append(
+            f"zc{d} AS (SELECT pr.pred AS id, sum(z.sz) AS cs\n"
+            f"        FROM z{d + 1} z JOIN par pr ON pr.id = z.id"
+            f" GROUP BY pr.pred)"
+        )
+        parts.append(
+            f"z{d} AS (SELECT b.id,"
+            f" (1 + coalesce(c.cs, 0))::BIGINT AS sz\n"
+            f"        FROM bf{depth} b LEFT JOIN zc{d} c ON c.id = b.id\n"
+            f"        WHERE b.depth = {d})"
+        )
+    allz = "\n        UNION ALL ".join(
+        f"SELECT id, sz FROM z{d}" for d in range(depth + 1)
+    )
+    parts.append(f"zall AS ({allz})")
+    # preorder, top-down
+    parts.append(
+        "pr0 AS (SELECT b.id, coalesce(sum(z.sz) OVER (ORDER BY b.id\n"
+        "        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+        " 0)::BIGINT AS pre\n"
+        f"        FROM bf{depth} b JOIN zall z ON z.id = b.id"
+        " WHERE b.depth = 0)"
+    )
+    for d in range(1, depth + 1):
+        parts.append(
+            f"pr{d} AS (SELECT c.id, (p.pre + 1 +"
+            f" coalesce(sum(c.sz) OVER (PARTITION BY c.pred ORDER BY c.id\n"
+            f"        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+            f" 0))::BIGINT AS pre FROM (\n"
+            f"          SELECT pa.id, pa.pred, z.sz FROM par pa\n"
+            f"          JOIN zall z ON z.id = pa.id WHERE pa.depth = {d})"
+            f" c JOIN pr{d - 1} p ON p.id = c.pred)"
+        )
+    allp = "\n        UNION ALL ".join(
+        f"SELECT id, pre FROM pr{d}" for d in range(depth + 1)
+    )
+    parts.append(f"pall AS ({allp})")
+    # low/high, bottom-up (self = own pre + non-tree neighbor pres)
+    parts.append(
+        "ntp AS (SELECT n.src AS id, min(p.pre) AS ntlo,"
+        " max(p.pre) AS nthi\n"
+        "        FROM nt n JOIN pall p ON p.id = n.dst GROUP BY n.src)"
+    )
+    parts.append(
+        f"sb AS (SELECT b.id, b.depth, p.pre,\n"
+        f"        least(p.pre, coalesce(n.ntlo, p.pre)) AS slo,\n"
+        f"        greatest(p.pre, coalesce(n.nthi, p.pre)) AS shi\n"
+        f"        FROM bf{depth} b JOIN pall p ON p.id = b.id\n"
+        f"        LEFT JOIN ntp n ON n.id = b.id)"
+    )
+    parts.append(
+        f"lh{depth} AS (SELECT id, slo AS low, shi AS high FROM sb"
+        f" WHERE depth = {depth})"
+    )
+    for d in range(depth - 1, -1, -1):
+        parts.append(
+            f"lhc{d} AS (SELECT pr.pred AS id, min(l.low) AS clo,"
+            f" max(l.high) AS chi\n"
+            f"        FROM lh{d + 1} l JOIN par pr ON pr.id = l.id"
+            f" GROUP BY pr.pred)"
+        )
+        parts.append(
+            f"lh{d} AS (SELECT s.id,\n"
+            f"        least(s.slo, coalesce(c.clo, s.slo)) AS low,\n"
+            f"        greatest(s.shi, coalesce(c.chi, s.shi)) AS high\n"
+            f"        FROM sb s LEFT JOIN lhc{d} c ON c.id = s.id\n"
+            f"        WHERE s.depth = {d})"
+        )
+    alll = "\n        UNION ALL ".join(
+        f"SELECT id, low, high FROM lh{d}" for d in range(depth + 1)
+    )
+    parts.append(f"lall AS ({alll})")
+    parts.append(
+        "iv AS (SELECT b.id, pa.pred, p.pre, z.sz, l.low, l.high\n"
+        f"        FROM bf{depth} b LEFT JOIN par pa ON pa.id = b.id\n"
+        "        JOIN pall p ON p.id = b.id JOIN zall z ON z.id = b.id\n"
+        "        JOIN lall l ON l.id = b.id)"
+    )
+    # auxiliary graph (rules 1+2), symmetric edge list
+    parts.append(
+        "aux1 AS (SELECT n.src AS a, n.dst AS b FROM nt n\n"
+        "        JOIN iv u ON u.id = n.src JOIN iv w ON w.id = n.dst\n"
+        "        WHERE n.src < n.dst\n"
+        "          AND NOT (w.pre >= u.pre AND w.pre < u.pre + u.sz)\n"
+        "          AND NOT (u.pre >= w.pre AND u.pre < w.pre + w.sz))"
+    )
+    parts.append(
+        "aux2 AS (SELECT w.pred AS a, w.id AS b FROM iv w\n"
+        "        JOIN iv v ON v.id = w.pred\n"
+        "        WHERE w.pred IS NOT NULL AND v.pred IS NOT NULL\n"
+        "          AND (w.low < v.pre OR w.high >= v.pre + v.sz))"
+    )
+    parts.append(
+        "auxe AS (SELECT a, b FROM aux1 UNION ALL SELECT b, a FROM aux1\n"
+        "        UNION ALL SELECT a, b FROM aux2"
+        " UNION ALL SELECT b, a FROM aux2)"
+    )
+    # min-label components over non-root vertices, with pointer jumping
+    parts.append(
+        "a0 AS (SELECT id, id AS blk FROM iv WHERE pred IS NOT NULL)"
+    )
+    for k in range(arounds):
+        parts.append(
+            f"a{k + 1} AS (SELECT a.id, least(a.blk,"
+            f" coalesce(m.mn, a.blk), coalesce(j.blk, a.blk)) AS blk\n"
+            f"        FROM a{k} a LEFT JOIN (\n"
+            f"          SELECT e.b AS id, min(x.blk) AS mn\n"
+            f"          FROM auxe e JOIN a{k} x ON x.id = e.a"
+            f" GROUP BY e.b\n"
+            f"        ) m ON m.id = a.id\n"
+            f"        LEFT JOIN a{k} j ON j.id = a.blk)"
+        )
+    parts.append(
+        f"blks AS (SELECT id, blk FROM a{arounds})"
+    )
+    parts.append(
+        "vb AS (SELECT p.pred AS id, b.blk FROM par p"
+        " JOIN blks b ON b.id = p.id\n"
+        "        UNION ALL SELECT p.id, b.blk FROM par p"
+        " JOIN blks b ON b.id = p.id)"
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + """,
+cnt AS (SELECT id, count(DISTINCT blk) AS nb FROM vb GROUP BY id)
+SELECT v.id, CASE WHEN coalesce(c.nb, 0) >= 2 THEN 1 ELSE 0 END AS is_cut
+FROM verts v LEFT JOIN cnt c ON c.id = v.id"""
+    )
+
+
+def q_msf(spark, sf_dir):
+    """Minimum spanning forest of the weighted co-order graph
+    (reference ``apps/flash/measurement/msf.h``; lexicographic
+    (weight, src, dst) comparator makes the forest unique)."""
+    from graphscope_spark.operators.msf import minimum_spanning_forest
+
+    g = _weighted_sym_graph(spark, sf_dir)
+    return minimum_spanning_forest(g).select("src", "dst", "weight")
+
+
+def _msf_sql(rounds: int = 12, jumps: int = 6) -> str:
+    """Unrolled Borůvka: per round each component's min (w, u, v)
+    incident edge is picked, 2-cycles flatten to the min endpoint,
+    ``jumps`` pointer-jump steps contract each hooking tree, labels
+    relabel.  ``rounds``/``jumps`` sufficiency is proven by the
+    convergence guard (oracle(k) == oracle(k+1) at compare scale)."""
+    st = "{'w': w, 'u': u, 'v': v, 'cu': cu, 'cv': cv}"
+    parts = [
+        _G,
+        "ew AS (SELECT src AS u, dst AS v,"
+        " ((src + dst) % 7 + 1)::DOUBLE AS w FROM dedges)",
+        "c0 AS (SELECT id, id AS comp FROM verts)",
+    ]
+    sel_edges = []
+    for k in range(rounds):
+        parts.append(
+            f"ec{k} AS (SELECT e.u, e.v, e.w, a.comp AS cu, b.comp AS cv\n"
+            f"        FROM ew e JOIN c{k} a ON a.id = e.u"
+            f" JOIN c{k} b ON b.id = e.v\n"
+            f"        WHERE a.comp <> b.comp)"
+        )
+        parts.append(
+            f"sel{k} AS (SELECT c, min({st}) AS m FROM (\n"
+            f"          SELECT cu AS c, w, u, v, cu, cv FROM ec{k}\n"
+            f"          UNION ALL SELECT cv, w, u, v, cu, cv FROM ec{k})"
+            f" GROUP BY c)"
+        )
+        sel_edges.append(
+            f"SELECT DISTINCT struct_extract(m, 'u') AS u,"
+            f" struct_extract(m, 'v') AS v,"
+            f" struct_extract(m, 'w') AS w FROM sel{k}"
+        )
+        parts.append(
+            f"pj{k}_x AS (SELECT c, CASE WHEN c = struct_extract(m, 'cu')"
+            f" THEN struct_extract(m, 'cv')"
+            f" ELSE struct_extract(m, 'cu') END AS p FROM sel{k})"
+        )
+        parts.append(
+            f"pj{k}_0 AS (SELECT a.c, CASE WHEN b.p = a.c"
+            f" THEN least(a.c, a.p) ELSE a.p END AS p\n"
+            f"        FROM pj{k}_x a LEFT JOIN pj{k}_x b ON b.c = a.p)"
+        )
+        for j in range(jumps):
+            parts.append(
+                f"pj{k}_{j + 1} AS (SELECT a.c, coalesce(b.p, a.p) AS p\n"
+                f"        FROM pj{k}_{j} a LEFT JOIN pj{k}_{j} b"
+                f" ON b.c = a.p)"
+            )
+        parts.append(
+            f"c{k + 1} AS (SELECT c.id, coalesce(p.p, c.comp) AS comp\n"
+            f"        FROM c{k} c LEFT JOIN pj{k}_{jumps} p"
+            f" ON p.c = c.comp)"
+        )
+    union = "\n        UNION ALL ".join(sel_edges)
+    return (
+        "WITH " + ",\n".join(parts)
+        + f",\nmsf AS ({union})\n"
+        "SELECT DISTINCT u AS src, v AS dst, w AS weight FROM msf"
+    )
+
+
+def q_core_numbers(spark, sf_dir):
+    """Full core decomposition via the h-index fixpoint (single
+    superstep loop; replaces the per-k sequential peel)."""
+    from graphscope_spark.operators.clustering import core_numbers_hindex
+
+    return core_numbers_hindex(part_graph(spark, sf_dir)).select(
+        "id", "core"
+    )
+
+
+def _core_numbers_sql(rounds: int = 20) -> str:
+    """Unrolled h-operator iteration (Lü et al. 2016): h0 = degree,
+    h ← h-index of neighbor values; fixpoint = coreness."""
+    parts = [
+        _G,
+        "h0 AS (SELECT v.id, count(e.src)::BIGINT AS h\n"
+        "        FROM verts v LEFT JOIN sym e ON e.src = v.id"
+        " GROUP BY v.id)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"nbh{k} AS (SELECT e.src AS id, h.h\n"
+            f"        FROM sym e JOIN h{k} h ON h.id = e.dst)"
+        )
+        parts.append(
+            f"hx{k} AS (SELECT id, max(least(r, h)) AS h FROM (\n"
+            f"          SELECT id, h, row_number() OVER"
+            f" (PARTITION BY id ORDER BY h DESC) AS r FROM nbh{k})"
+            f" GROUP BY id)"
+        )
+        parts.append(
+            f"h{k + 1} AS (SELECT v.id, coalesce(x.h, 0)::BIGINT AS h\n"
+            f"        FROM h0 v LEFT JOIN hx{k} x ON x.id = v.id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, h AS core FROM h{rounds}"
+    )
+
+
+def q_min_cover(spark, sf_dir):
+    """FLASH parallel greedy vertex cover (reference
+    ``apps/flash/matching/min-cover-greedy.h``)."""
+    from graphscope_spark.operators.misc import min_vertex_cover_greedy
+
+    return min_vertex_cover_greedy(part_graph_min2(spark, sf_dir)).select(
+        "id", "in_cover"
+    )
+
+
+def _min_cover_sql(rounds: int = 12) -> str:
+    """Unrolled reference protocol: local (residual-degree, id) maxima
+    among uncovered neighbors join the cover each round; larger wins.
+    Runs on the min2 graph (sparse backbone: ~9 greedy rounds at
+    compare scale vs 165 on the dense co-order blob)."""
+    parts = [
+        _G2,
+        "s0 AS (SELECT v.id, count(e.src)::BIGINT AS d, 0 AS c, 1 AS a\n"
+        "        FROM verts v LEFT JOIN sym e ON e.src = v.id"
+        " GROUP BY v.id)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"nm{k} AS (SELECT e.src AS id, max(ROW(s.d, s.id)) AS m\n"
+            f"        FROM sym e JOIN s{k} s ON s.id = e.dst AND s.c = 0\n"
+            f"        GROUP BY e.src)"
+        )
+        parts.append(
+            f"w{k} AS (SELECT s.id FROM s{k} s LEFT JOIN nm{k} n"
+            f" ON n.id = s.id\n"
+            f"        WHERE s.a = 1 AND (n.m IS NULL"
+            f" OR n.m < ROW(s.d, s.id)))"
+        )
+        parts.append(
+            f"dc{k} AS (SELECT e.dst AS id, count(*)::BIGINT AS tmp\n"
+            f"        FROM sym e JOIN w{k} w ON w.id = e.src"
+            f" GROUP BY e.dst)"
+        )
+        parts.append(
+            f"s{k + 1} AS (SELECT id, d, c,"
+            f" CASE WHEN a = 1 AND c = 0 AND d > 0 THEN 1 ELSE 0 END AS a"
+            f" FROM (\n"
+            f"          SELECT s.id,\n"
+            f"            CASE WHEN w.id IS NULL AND s.c = 0\n"
+            f"                 THEN s.d - coalesce(t.tmp, 0::BIGINT)\n"
+            f"                 ELSE s.d END AS d,\n"
+            f"            CASE WHEN w.id IS NOT NULL THEN 1 ELSE s.c END"
+            f" AS c,\n"
+            f"            s.a AS a\n"
+            f"          FROM s{k} s LEFT JOIN w{k} w ON w.id = s.id\n"
+            f"          LEFT JOIN dc{k} t ON t.id = s.id))"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, c AS in_cover FROM s{rounds}"
+    )
+
+
+def q_min_dominating(spark, sf_dir):
+    """FLASH parallel greedy dominating set (reference
+    ``apps/flash/matching/min-dominating-set.h``)."""
+    from graphscope_spark.operators.misc import min_dominating_set_greedy
+
+    return min_dominating_set_greedy(part_graph_min2(spark, sf_dir)).select(
+        "id", "in_dom_set"
+    )
+
+
+def _min_dominating_sql(rounds: int = 15) -> str:
+    """Unrolled reference protocol: two (count, id) max-propagation
+    steps over non-dominated neighborhoods per round; 2-hop local
+    maxima join the set and dominate their closed neighborhood.
+    Runs on the min2 graph (see ``_min_cover_sql``)."""
+    st = "{'mc': s.mc, 'mi': s.mi}"
+
+    def prop(src: str, out: str) -> list[str]:
+        return [
+            f"{out}m AS (SELECT e.src AS id, max({{'mc': s.mc,"
+            f" 'mi': s.mi}}) AS m\n"
+            f"        FROM sym e JOIN {src} s ON s.id = e.dst"
+            f" AND s.dom = 0 GROUP BY e.src)",
+            f"{out} AS (SELECT s.id,\n"
+            f"          CASE WHEN s.dom = 0 AND m.m IS NOT NULL"
+            f" AND m.m > {st}\n"
+            f"               THEN struct_extract(m.m, 'mc')"
+            f" ELSE s.mc END AS mc,\n"
+            f"          CASE WHEN s.dom = 0 AND m.m IS NOT NULL"
+            f" AND m.m > {st}\n"
+            f"               THEN struct_extract(m.m, 'mi')"
+            f" ELSE s.mi END AS mi,\n"
+            f"          s.dom, s.b\n"
+            f"        FROM {src} s LEFT JOIN {out}m m ON m.id = s.id)",
+        ]
+    parts = [
+        _G2,
+        "s0 AS (SELECT v.id, count(e.src)::BIGINT AS mc, v.id AS mi,"
+        " 0 AS dom, 0 AS b\n"
+        "        FROM verts v LEFT JOIN sym e ON e.src = v.id"
+        " GROUP BY v.id)",
+    ]
+    for k in range(rounds):
+        parts.extend(prop(f"s{k}", f"p1_{k}"))
+        parts.extend(prop(f"p1_{k}", f"p2_{k}"))
+        parts.append(
+            f"w{k} AS (SELECT id FROM p2_{k} WHERE dom = 0 AND mi = id)"
+        )
+        parts.append(
+            f"nd{k} AS (SELECT id FROM w{k} UNION\n"
+            f"        SELECT e.dst AS id FROM sym e JOIN w{k} w"
+            f" ON w.id = e.src)"
+        )
+        parts.append(
+            f"sh{k} AS (SELECT p.id, p.mc, p.mi,\n"
+            f"          CASE WHEN n.id IS NOT NULL THEN 1 ELSE p.dom END"
+            f" AS dom,\n"
+            f"          CASE WHEN w.id IS NOT NULL THEN 1 ELSE p.b END"
+            f" AS b\n"
+            f"        FROM p2_{k} p LEFT JOIN nd{k} n ON n.id = p.id\n"
+            f"        LEFT JOIN w{k} w ON w.id = p.id)"
+        )
+        parts.append(
+            f"rc{k} AS (SELECT e.src AS id, count(*)::BIGINT AS rc\n"
+            f"        FROM sym e JOIN sh{k} t ON t.id = e.dst"
+            f" AND t.dom = 0 GROUP BY e.src)"
+        )
+        parts.append(
+            f"s{k + 1} AS (SELECT s.id,\n"
+            f"          CASE WHEN s.dom = 0 THEN coalesce(r.rc, 0::BIGINT)"
+            f" ELSE s.mc END AS mc,\n"
+            f"          CASE WHEN s.dom = 0 THEN s.id ELSE s.mi END AS mi,\n"
+            f"          s.dom, s.b\n"
+            f"        FROM sh{k} s LEFT JOIN rc{k} r ON r.id = s.id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, b AS in_dom_set FROM s{rounds}"
+    )
+
+
 def q_tri_census(spark, sf_dir):
     """Directed triangle census (cyclic vs transitive) on the
     hash-directed co-order graph — every pair carries one arc whose
@@ -2096,8 +2718,41 @@ def q_rel_union_intersect(spark, sf_dir):
 # registry: name -> (callable, oracle sql | None)
 # --------------------------------------------------------------------
 
+#: Registry order matters: the round driver's CORRECTNESS harness
+#: verifies the FIRST 50 entries.  The order below keeps the flagship
+#: graph queries up front, then everything new or changed this round,
+#: then the rest by value; the tail holds long-stable queries that
+#: already carry two rounds of green driver rows (the rel_* GIE demos
+#: and fixed-round centralities).
+_REGISTRY_ORDER = [
+    # flagships
+    "pagerank", "wcc", "cdlp", "triangles", "tri_count", "bfs", "sssp",
+    # LLM-pipeline + tail entries the driver never reached in round 2
+    "dedup_exact", "minhash_groups", "ngram_jaccard", "embedding_near_dup",
+    "minhash_lsh", "simhash", "embedding_topk", "text_stats", "lang_id",
+    "doc_fingerprint", "khop2", "rel_semijoin",
+    # new in round 3
+    "bridges", "cut_points", "msf", "core_numbers", "bfs_pred",
+    "k5_count", "min_cover", "min_dominating",
+    # changed in round 3
+    "voterank", "edge_betweenness_sample",
+    # remaining high-value graph queries (inside the 50-window)
+    "scc", "betweenness_sample", "closeness_sample", "closeness_full",
+    "lcc", "kcore", "kshell", "mis", "matching", "ppr", "articlerank",
+    "harmonic_sample", "diameter_approx", "densest_sub",
+    "clustering_directed", "apsp_sample", "sssp_path", "sssp_has_path",
+    "sssp_avg_length", "lpa_u2i", "rect_count",
+    # ---- position 51+: stable two-round-green entries ----
+    "tri_census", "k4_count", "core_numbers_k3", "eigenvector10",
+    "katz10", "hits", "degree_centrality", "avg_degree_connectivity",
+    "avg_clustering", "transitivity", "assortativity", "boundary",
+    "rel_group_agg", "rel_join_topk", "rel_dedup", "rel_antijoin",
+    "rel_window_topk", "rel_apply", "rel_sample", "rel_union_intersect",
+]
+
+
 def registry() -> dict[str, tuple[Callable, str | None]]:
-    return {
+    entries = {
         "pagerank": (q_pagerank, _pagerank_sql(10)),
         "wcc": (q_wcc, _wcc_sql(8)),
         "cdlp": (q_cdlp, _cdlp_sql(10)),
@@ -2301,7 +2956,19 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
                WHERE p_size > 40 AND EXISTS (SELECT 1 FROM lineitem
                                              WHERE l_partkey = p_partkey)""",
         ),
+        "k5_count": (q_k5_count, _K5_COUNT_SQL),
+        "bridges": (q_bridges, _bridges_sql(14, 12)),
+        "cut_points": (q_cut_points, _cut_points_sql(14, 12, 10)),
+        "bfs_pred": (q_bfs_pred, _bfs_pred_sql(6)),
+        "msf": (q_msf, _msf_sql(12, 6)),
+        "core_numbers": (q_core_numbers, _core_numbers_sql(20)),
+        "min_cover": (q_min_cover, _min_cover_sql(14)),
+        "min_dominating": (q_min_dominating, _min_dominating_sql(14)),
     }
+    missing = [n for n in _REGISTRY_ORDER if n not in entries]
+    extra = [n for n in entries if n not in _REGISTRY_ORDER]
+    assert not missing and not extra, (missing, extra)
+    return {name: entries[name] for name in _REGISTRY_ORDER}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -7,13 +7,16 @@ The pattern for image/audio/video at 100 TB: the payload is a
 ``mapInPandas`` stage so payload bytes stream through Arrow batches
 without ever materializing per-row Python objects.
 
-The actual decoders (PIL/ffmpeg/torchaudio) are NOT in this
-container, so the decode step is STUBBED — ``decode_stub=True``
-(default) derives deterministic pseudo-features from sha256(payload),
-and ``decode_stub=False`` raises ``NotImplementedError`` at the point
-a real decoder would plug in.  Everything around the stub — schema,
-batch iteration, partition sizing, feature assembly — is the real
-production plumbing and is tested.
+Decoders are OPTIONAL dependencies, imported lazily per executor:
+``decode_stub=False`` uses PIL for images when ``PIL.Image`` is
+importable (soundfile/av would slot in the same way for audio/video)
+and raises ``NotImplementedError`` for payloads whose decoder is
+absent — so the operator is real wherever the libs exist and an
+honest stub elsewhere.  ``decode_stub=True`` (default) derives
+deterministic pseudo-features from sha256(payload) for tests and
+benches.  Everything around the decode call — schema, Arrow batch
+iteration, partition sizing, feature assembly — is identical
+production plumbing on both paths.
 """
 
 from __future__ import annotations
@@ -50,6 +53,31 @@ def attach_fake_payloads(
     )
 
 
+def _image_decoder():
+    """Lazy optional import: returns a payload→features callable when
+    PIL is available, else None.  Imported inside the executor task
+    (never at module import) so a PIL-less driver/cluster still loads
+    this module."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return None
+
+    def decode(payload: bytes) -> list[float]:
+        with Image.open(io.BytesIO(payload)) as im:
+            im = im.convert("L").resize((2, 2))
+            w, h = im.size
+            px = list(im.getdata())
+        vals = [float(v) / 255.0 for v in px[:4]]
+        vals += [0.0] * (4 - len(vals))
+        return [float(w), float(h), float(len(px)),
+                sum(vals) / 4.0] + vals
+
+    return decode
+
+
 def _stub_features(payload: bytes) -> list[float]:
     """Deterministic fake feature vector: FEATURE_DIM floats from
     sha256 bytes, each in [0, 1)."""
@@ -67,22 +95,32 @@ def extract_features(
     via ``mapInPandas`` — one Arrow batch per yield, vectorized
     hashing, no per-row Spark calls.
 
-    With ``decode_stub=False`` this is where a real decoder
-    (PIL.Image.open / av.open / soundfile.read on ``payload``) would
-    run; it raises ``NotImplementedError`` since those libs are
-    unavailable here.
+    With ``decode_stub=False`` image payloads are decoded with PIL
+    when it is importable on the executor (lazy per-task import);
+    modalities without an available decoder raise
+    ``NotImplementedError`` — real where possible, honest stub
+    elsewhere.
     """
     import pandas as pd
 
     def run(batches):
+        img_decode = None if decode_stub else _image_decoder()
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real image/audio/video decoding requires PIL/ffmpeg/"
-                    "soundfile; plug the decoder in here"
-                )
             payloads = pdf["payload"]
-            feats = [_stub_features(bytes(p)) for p in payloads]
+            if decode_stub:
+                feats = [_stub_features(bytes(p)) for p in payloads]
+            else:
+                feats = []
+                for modality, p in zip(pdf["modality"], payloads):
+                    if modality == "image" and img_decode is not None:
+                        feats.append(img_decode(bytes(p)))
+                    else:
+                        raise NotImplementedError(
+                            f"no decoder available for modality "
+                            f"{modality!r} (image needs PIL; audio/"
+                            f"video need soundfile/av) — plug one in"
+                            f" here"
+                        )
             shas = [
                 hashlib.sha256(bytes(p)).hexdigest() for p in payloads
             ]

@@ -286,9 +286,70 @@ def kshell(graph: Graph, k: int) -> DataFrame:
     )
 
 
+def core_numbers_hindex(graph: Graph, max_iter: int = 200) -> DataFrame:
+    """``(id long, core long)`` — full core decomposition by the
+    h-operator fixpoint (Lü, Chen, Ren, Zhang, Zhou, Stanley, "The
+    H-index of a network node and its relation to degree and
+    coreness", Nature Communications 7:10168, 2016): start from
+    ``h0(v) = deg(v)`` and iterate ``h(v) ← H({h(u) : u ∈ N(v)})``
+    where H is the h-index of the neighbor multiset; the fixpoint is
+    exactly the core number of every vertex.
+
+    Unlike the k-peel (``core_numbers``, sequential in the degeneracy
+    — one distributed fixpoint loop PER k), this is a single
+    superstep loop: each round is one edge join plus a per-vertex
+    window h-index, and every vertex converges simultaneously.  The
+    right 100×-scale formulation (rounds observed ≲ graph diameter).
+    """
+    edges = graph.symmetrized_edges().select("src", "dst").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    from pyspark.sql import Window
+
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("h")
+    )
+    state = (
+        graph.vertices.select("id")
+        .join(deg, "id", "left")
+        .select("id", F.coalesce("h", F.lit(0).cast("long")).alias("h"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nb = edges.join(
+            state.withColumnRenamed("id", "dst"), "dst"
+        ).select(F.col("src").alias("id"), "h")
+        w = Window.partitionBy("id").orderBy(F.desc("h"))
+        # h-index: max over ranks r (values sorted desc) of min(r, v_r)
+        hnew = (
+            nb.withColumn("r", F.row_number().over(w).cast("long"))
+            .groupBy("id")
+            .agg(F.max(F.least("r", F.col("h"))).alias("h"))
+        )
+        nxt = (
+            state.withColumnRenamed("h", "old")
+            .join(hnew.withColumnRenamed("h", "new"), "id", "left")
+            .select(
+                "id",
+                F.coalesce("new", F.lit(0).cast("long")).alias("h"),
+                "old",
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = nxt.where(F.col("h") != F.col("old")).count()
+        state = nxt.select("id", "h")
+        if changed == 0:
+            break
+    return state.select("id", F.col("h").alias("core"))
+
+
 def core_numbers(graph: Graph, max_k: int | None = None) -> DataFrame:
     """``(id long, core long)`` — full core decomposition by repeated
-    peeling with increasing k (degeneracy-bounded)."""
+    peeling with increasing k (degeneracy-bounded).
+
+    Kept as the simple reference implementation and for bounded-k
+    helpers; prefer :func:`core_numbers_hindex` — this one runs a
+    distributed fixpoint PER k value, sequential in the degeneracy."""
     edges = graph.symmetrized_edges().select("src", "dst").persist(
         StorageLevel.MEMORY_AND_DISK
     )

@@ -244,6 +244,201 @@ def maximal_matching(graph: Graph, max_iter: int = 10_000) -> DataFrame:
     return acc.select("src", "dst")
 
 
+def min_vertex_cover_greedy(graph: Graph, max_iter: int = 10_000) -> DataFrame:
+    """``(id long, in_cover int)`` — FLASH's parallel greedy vertex
+    cover (reference ``apps/flash/matching/min-cover-greedy.h``): every
+    round each active vertex whose (residual-degree, id) beats ALL its
+    not-yet-covered neighbors joins the cover (tie-break: LARGER id
+    wins, per the reference's ``nb_id > id`` test); covered vertices
+    stop counting toward neighbors' residual degrees; a vertex leaves
+    the active set once covered or once its residual degree hits 0.
+
+    Faithful to the reference including its quirk that an isolated or
+    fully-covered-neighborhood vertex in round 0 trivially beats an
+    empty neighborhood and is selected.  Deterministic, so the SQL
+    oracle reproduces the exact set.  O(log n) expected rounds; each
+    round is one neighbor-max join + one decrement aggregation over
+    the shrinking active subgraph."""
+    edges = graph.symmetrized_edges().select("src", "dst").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    state = (
+        graph.vertices.select("id")
+        .join(deg, "id", "left")
+        .select(
+            "id",
+            F.coalesce("d", F.lit(0).cast("long")).alias("d"),
+            F.lit(0).alias("c"),
+            F.lit(1).alias("a"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        if state.where(F.col("a") == 1).limit(1).count() == 0:
+            break
+        # max (d, id) among NOT-covered neighbors (reference filter1
+        # scans all neighbors with !nb.c, active or not)
+        unc = state.where(F.col("c") == 0).select(
+            F.col("id").alias("dst"), F.struct("d", "id").alias("s")
+        )
+        nbmax = (
+            edges.join(unc, "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.max("s").alias("m"))
+        )
+        sel = (
+            state.where(F.col("a") == 1)
+            .join(nbmax, "id", "left")
+            .where(
+                F.col("m").isNull()
+                | (F.col("m") < F.struct("d", F.col("id")))
+            )
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        # selected vertices cover themselves; their still-uncovered
+        # neighbors (reference check = !d.c AFTER selection) lose one
+        # residual degree per selected neighbor
+        dec = (
+            edges.join(sel.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("tmp"))
+        )
+        selc = sel.withColumn("hit", F.lit(1))
+        state = (
+            state.join(selc, "id", "left")
+            .join(dec, "id", "left")
+            .select(
+                "id",
+                F.when(
+                    (F.col("hit").isNull()) & (F.col("c") == 0),
+                    F.col("d") - F.coalesce("tmp", F.lit(0).cast("long")),
+                ).otherwise(F.col("d")).alias("d"),
+                F.greatest("c", F.coalesce("hit", F.lit(0))).alias("c"),
+                "a",
+            )
+            .select(
+                "id", "d", "c",
+                ((F.col("a") == 1) & (F.col("c") == 0) & (F.col("d") > 0))
+                .cast("int").alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select("id", F.col("c").alias("in_cover"))
+
+
+def min_dominating_set_greedy(graph: Graph, max_iter: int = 10_000) -> DataFrame:
+    """``(id long, in_dom_set int)`` — FLASH's parallel greedy
+    dominating set (reference ``apps/flash/matching/
+    min-dominating-set.h``): each round runs TWO max-propagation steps
+    of (residual-count, id) over non-dominated neighborhoods; vertices
+    that remain their own 2-hop maximum join the set and dominate
+    themselves and their neighbors; the rest recompute
+    residual-count = #non-dominated neighbors and repeat until every
+    vertex is dominated.  Tie-break: larger (count, id) wins, per the
+    reference's GT test.  Deterministic → exact SQL oracle."""
+    edges = graph.symmetrized_edges().select("src", "dst").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("mc")
+    )
+    state = (
+        graph.vertices.select("id")
+        .join(deg, "id", "left")
+        .select(
+            "id",
+            F.coalesce("mc", F.lit(0).cast("long")).alias("mc"),
+            F.col("id").alias("mi"),
+            F.lit(0).alias("dom"),
+            F.lit(0).alias("b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def _max_prop(st):
+        # one step: active vertices take the max (mc, mi) over self
+        # and non-dominated neighbors
+        nb = edges.join(
+            st.where(F.col("dom") == 0)
+            .select(F.col("id").alias("dst"),
+                    F.struct("mc", "mi").alias("s")),
+            "dst",
+        ).groupBy(F.col("src").alias("id")).agg(F.max("s").alias("m"))
+        return (
+            st.join(nb, "id", "left")
+            .select(
+                "id",
+                F.when(
+                    (F.col("dom") == 0)
+                    & F.col("m").isNotNull()
+                    & (F.col("m") > F.struct("mc", "mi")),
+                    F.col("m"),
+                ).otherwise(F.struct("mc", "mi")).alias("s"),
+                "dom", "b",
+            )
+            .select("id", F.col("s.mc").alias("mc"),
+                    F.col("s.mi").alias("mi"), "dom", "b")
+            .localCheckpoint(eager=True)
+        )
+
+    for _ in range(max_iter):
+        if state.where(F.col("dom") == 0).limit(1).count() == 0:
+            break
+        state = _max_prop(_max_prop(state))
+        sel = (
+            state.where((F.col("dom") == 0) & (F.col("mi") == F.col("id")))
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        newly = (
+            edges.join(sel.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .unionByName(sel)
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        inset = sel.withColumn("inb", F.lit(1))
+        state = (
+            state.join(newly, "id", "left")
+            .join(inset, "id", "left")
+            .select(
+                "id", "mc", "mi",
+                F.greatest("dom", F.coalesce("hit", F.lit(0))).alias("dom"),
+                F.greatest("b", F.coalesce("inb", F.lit(0))).alias("b"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # survivors reset: mi = id, mc = #non-dominated neighbors
+        rc = (
+            edges.join(
+                state.where(F.col("dom") == 0)
+                .select(F.col("id").alias("dst")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("rc"))
+        )
+        state = (
+            state.join(rc, "id", "left")
+            .select(
+                "id",
+                F.when(F.col("dom") == 0,
+                       F.coalesce("rc", F.lit(0).cast("long")))
+                .otherwise(F.col("mc")).alias("mc"),
+                F.when(F.col("dom") == 0, F.col("id"))
+                .otherwise(F.col("mi")).alias("mi"),
+                "dom", "b",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select("id", F.col("b").alias("in_dom_set"))
+
+
 def voterank(graph: Graph, num_seeds: int = 10) -> DataFrame:
     """Top influencers by iterative voting: ``(id long, rank int)``
     with rank 0 = first elected (reference ``voterank.h``; NetworkX

@@ -90,6 +90,46 @@ def _bfs_loop(graph, source, depth_limit, symmetrize, checkpoint):
     return state
 
 
+def bfs_tree(
+    graph: Graph,
+    source: int,
+    output_format: str = "edges",
+    depth_limit: int | None = None,
+    symmetrize: bool = False,
+) -> DataFrame:
+    """BFS spanning-tree output formats of the reference's generic BFS
+    (``apps/bfs/bfs_generic.h:132-156``): the predecessor array
+    rendered as ``edges`` → ``(pred, id)``, ``predecessors`` →
+    ``(id, pred)``, or ``successors`` → ``(src, dst)`` parent→child
+    rows.  The reference keeps whichever predecessor message landed
+    last (``:186``, nondeterministic under partitioning); here
+    ``pred(v) = min{u : u→v ∧ depth(u)+1 = depth(v)}`` — the same
+    min-id convention as ``sssp_path`` — so the tree is deterministic
+    and exactly reproducible by a SQL oracle.  One post-pass join
+    after the depth fixpoint; no per-superstep pred bookkeeping."""
+    depth = bfs(graph, source, depth_limit, symmetrize)
+    e = (graph.symmetrized_edges() if symmetrize else graph.edges).select(
+        "src", "dst"
+    )
+    du = depth.select(F.col("id").alias("src"), F.col("depth").alias("du"))
+    tree = (
+        e.join(du, "src")
+        .join(depth.withColumnRenamed("id", "dst"), "dst")
+        .where((F.col("du") + 1 == F.col("depth"))
+               & (F.col("dst") != int(source)))
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.min("src").alias("pred"))
+    )
+    if output_format == "edges":
+        return tree.select(F.col("pred"), F.col("id"))
+    if output_format == "predecessors":
+        return tree.select("id", "pred")
+    if output_format == "successors":
+        return tree.select(F.col("pred").alias("src"),
+                           F.col("id").alias("dst"))
+    raise ValueError(f"unknown output_format: {output_format!r}")
+
+
 def sssp(
     graph: Graph,
     source: int,

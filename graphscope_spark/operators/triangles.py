@@ -125,6 +125,39 @@ def k4_count(graph: Graph) -> int:
     return int(k4.count())
 
 
+def k_clique_count(graph: Graph, k: int) -> int:
+    """Global k-clique count for arbitrary ``k`` (reference
+    ``apps/flash/subgraph/k-clique.h``, which recursively extends
+    partial cliques along degree-oriented out-neighborhoods).
+
+    The (degree, id) orientation is an acyclic total order, so every
+    k-clique has exactly one topological ordering v1 < … < vk and is
+    counted once.  Level j→j+1 is a join of the partial-clique table
+    with the oriented edges on v_j, then j-1 closing-edge joins —
+    identical shape to the reference's recursive extension, with the
+    O(√m) oriented out-degree bound keeping each level's blow-up
+    polynomial in m^{k/2} worst case (far smaller on real graphs)."""
+    if k < 1:
+        return 0
+    if k == 1:
+        return int(graph.vertices.count())
+    e = oriented_edges(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    if k == 2:
+        return int(e.count())
+    clique = e.select(F.col("src").alias("v1"), F.col("dst").alias("v2"))
+    for j in range(3, k + 1):
+        ext = e.select(
+            F.col("src").alias(f"v{j - 1}"), F.col("dst").alias(f"v{j}")
+        )
+        clique = clique.join(ext, f"v{j - 1}")
+        for i in range(1, j - 1):
+            close = e.select(
+                F.col("src").alias(f"v{i}"), F.col("dst").alias(f"v{j}")
+            )
+            clique = clique.join(close, [f"v{i}", f"v{j}"])
+    return int(clique.count())
+
+
 def directed_triangle_census(graph: Graph) -> tuple[int, int]:
     """``(cyclic, transitive)`` counts of directed triangles
     (reference ``apps/flash/subgraph/cyclic-triangle.h`` /

@@ -282,8 +282,39 @@ def test_multimodal_pipeline(spark, docs_df):
     expect = sum(max(1, v["duration_ms"] // 1000) if v["duration_ms"] >= 1000
                  else 1 for v in vids)
     assert plan.count() == expect
-    with pytest.raises(Exception):
-        extract_features(media, decode_stub=False).collect()
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        # no decoder available → the real path must fail loudly, not
+        # silently return stub features
+        with pytest.raises(Exception):
+            extract_features(media, decode_stub=False).collect()
+
+
+def test_multimodal_real_decode_with_pil(spark):
+    """Exercises the REAL decode path when PIL is installed (skipped
+    in environments without it): a generated PNG round-trips through
+    extract_features(decode_stub=False) with its true dimensions."""
+    PIL = pytest.importorskip("PIL")  # noqa: N806
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (5, 3), (200, 10, 10)).save(buf, format="PNG")
+    payload = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload), 5, 3, 0)],
+        "media_id long, modality string, payload binary,"
+        " width int, height int, duration_ms int",
+    )
+    row = extract_features(media, decode_stub=False).collect()[0]
+    # decoder resizes to 2x2 grayscale: [w, h, npx, mean, p0..p3]
+    assert row["feature"][0] == 2.0 and row["feature"][1] == 2.0
+    assert row["payload_sha256"] == hashlib.sha256(payload).hexdigest()
 
 
 def test_minhash_dedup_groups_vs_union_find(spark, docs_df):

@@ -86,6 +86,32 @@ CASES = {
         lambda: E._minhash_groups_sql(8),
         lambda: E._minhash_groups_sql(9),
     ),
+    # round-3 additions: Borůvka (outer rounds AND pointer-jump depth
+    # bumped together), h-index coreness, FLASH greedy cover/dominating
+    # set, BFS-forest machinery (wcc rounds + BFS depth + aux-label
+    # rounds all bumped together)
+    "msf": (lambda: E._msf_sql(12, 6), lambda: E._msf_sql(13, 7)),
+    "core_numbers": (
+        lambda: E._core_numbers_sql(20),
+        lambda: E._core_numbers_sql(21),
+    ),
+    "min_cover": (
+        lambda: E._min_cover_sql(14), lambda: E._min_cover_sql(15)
+    ),
+    "min_dominating": (
+        lambda: E._min_dominating_sql(14),
+        lambda: E._min_dominating_sql(15),
+    ),
+    "bridges": (
+        lambda: E._bridges_sql(14, 12), lambda: E._bridges_sql(15, 13)
+    ),
+    "cut_points": (
+        lambda: E._cut_points_sql(14, 12, 10),
+        lambda: E._cut_points_sql(15, 13, 11),
+    ),
+    "bfs_pred": (
+        lambda: E._bfs_pred_sql(6), lambda: E._bfs_pred_sql(7)
+    ),
 }
 
 
