@@ -244,6 +244,81 @@ def maximal_matching(graph: Graph, max_iter: int = 10_000) -> DataFrame:
     return acc.select("src", "dst")
 
 
+#: sentinel "unreached" distance matching the reference's INT_MAX init
+KCENTER_INF = 2_147_483_647
+
+
+def k_center(graph: Graph, k: int = 3) -> DataFrame:
+    """``(id long, dis long)`` — greedy farthest-first k-center over
+    hop distance (reference ``apps/flash/measurement/k-center.h``):
+    the first center is the max-(degree, id) vertex; each round a BFS
+    from the newest center lowers every vertex's distance-to-nearest-
+    center, and the farthest vertex (max (dis, id) — the reference's
+    fragment-order tie-break made deterministic) becomes the next
+    center.  Result is each vertex's hop distance to its nearest
+    center, the 2-approximation certificate for the k-center radius.
+    k sequential BFS floods; each superstep is the standard frontier
+    join."""
+    edges = graph.symmetrized_edges().select("src", "dst").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    first = (
+        graph.vertices.select("id")
+        .join(deg, "id", "left")
+        .orderBy(F.desc(F.coalesce("d", F.lit(0))), F.desc("id"))
+        .limit(1).collect()[0]["id"]
+    )
+    dis = graph.vertices.select(
+        "id", F.lit(KCENTER_INF).cast("long").alias("dis")
+    ).localCheckpoint(eager=True)
+    center = int(first)
+    spark = graph.vertices.sparkSession
+    for _ in range(k):
+        # BFS flood from the new center, folding into the running min
+        frontier = spark.createDataFrame(
+            [(center, 0)], "id long, hop long"
+        )
+        dis = (
+            dis.join(frontier.withColumnRenamed("hop", "h"), "id", "left")
+            .select("id", F.least("dis", F.coalesce("h", F.col("dis")))
+                    .alias("dis"))
+            .localCheckpoint(eager=True)
+        )
+        hop = 0
+        while frontier.limit(1).count() > 0:
+            hop += 1
+            cand = (
+                edges.join(
+                    frontier.withColumnRenamed("id", "src").select("src"),
+                    "src",
+                )
+                .select(F.col("dst").alias("id"))
+                .distinct()
+                .withColumn("h", F.lit(hop).cast("long"))
+            )
+            nxt = (
+                dis.join(cand, "id", "left")
+                .select(
+                    "id",
+                    F.least("dis", F.coalesce("h", F.col("dis")))
+                    .alias("dis"),
+                    (F.coalesce("h", F.lit(KCENTER_INF))
+                     < F.col("dis")).alias("improved"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            frontier = nxt.where(F.col("improved")).select("id")
+            dis = nxt.select("id", "dis")
+        far = (
+            dis.orderBy(F.desc("dis"), F.desc("id")).limit(1).collect()[0]
+        )
+        center = int(far["id"])
+    return dis.select("id", "dis")
+
+
 def min_vertex_cover_greedy(graph: Graph, max_iter: int = 10_000) -> DataFrame:
     """``(id long, in_cover int)`` — FLASH's parallel greedy vertex
     cover (reference ``apps/flash/matching/min-cover-greedy.h``): every

@@ -158,6 +158,82 @@ def k_clique_count(graph: Graph, k: int) -> int:
     return int(clique.count())
 
 
+def edge_triangle_support(graph: Graph) -> DataFrame:
+    """``(u, v, tc)`` — number of triangles through each canonical
+    (u < v) undirected edge; edges in no triangle are absent.  One
+    pass over the oriented triangle list: each triangle feeds its
+    three edges."""
+    tris = triangle_list(graph)
+    pairs = (
+        tris.select(F.least("a", "b").alias("u"),
+                    F.greatest("a", "b").alias("v"))
+        .unionAll(tris.select(F.least("b", "c").alias("u"),
+                              F.greatest("b", "c").alias("v")))
+        .unionAll(tris.select(F.least("a", "c").alias("u"),
+                              F.greatest("a", "c").alias("v")))
+    )
+    return pairs.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("tc")
+    )
+
+
+def _deg_edges(graph: Graph) -> DataFrame:
+    """Canonical undirected edges with both endpoint degrees:
+    ``(u, v, du, dv)``."""
+    e = (
+        graph.symmetrized_edges()
+        .select(F.least("src", "dst").alias("u"),
+                F.greatest("src", "dst").alias("v"))
+        .distinct()
+    )
+    deg = graph.degrees()
+    return (
+        e.join(deg.select(F.col("id").alias("u"),
+                          F.col("degree").alias("du")), "u")
+        .join(deg.select(F.col("id").alias("v"),
+                         F.col("degree").alias("dv")), "v")
+    )
+
+
+def three_path_count(graph: Graph) -> int:
+    """Global count of simple 3-edge paths (reference
+    ``apps/flash/subgraph/3-path.h``): per undirected edge
+    ``(deg(u)-1)(deg(v)-1)`` counts middle-edge extensions, minus the
+    wedge pairs that close into a triangle — Σ_e tri_e = 3T, so the
+    total is Σ_e (du-1)(dv-1) − 3T."""
+    s = _deg_edges(graph).agg(
+        F.sum((F.col("du") - 1) * (F.col("dv") - 1)).alias("s")
+    ).collect()[0]["s"] or 0
+    return int(s) - 3 * global_triangle_count(graph)
+
+
+def tailed_triangle_count(graph: Graph) -> int:
+    """Global tailed-triangle count (reference
+    ``apps/flash/subgraph/tailed-triangle.h``): a triangle plus a
+    pendant edge at one corner — per triangle Σ_corners (deg−2),
+    computed as Σ_e tri_e·(du + dv − 4) / 2 over edges."""
+    et = edge_triangle_support(graph)
+    de = _deg_edges(graph)
+    s = (
+        et.join(de, ["u", "v"])
+        .agg(F.sum(F.col("tc")
+                   * (F.col("du") + F.col("dv") - 4)).alias("s"))
+        .collect()[0]["s"]
+    )
+    return int(s or 0) // 2
+
+
+def diamond_count(graph: Graph) -> int:
+    """Global diamond (K4 minus an edge, as a subgraph) count
+    (reference ``apps/flash/subgraph/diamond.h``): pairs of triangles
+    sharing an edge — Σ_e C(tri_e, 2)."""
+    et = edge_triangle_support(graph)
+    s = et.agg(
+        F.sum(F.col("tc") * (F.col("tc") - 1) / 2).alias("s")
+    ).collect()[0]["s"]
+    return int(s or 0)
+
+
 def directed_triangle_census(graph: Graph) -> tuple[int, int]:
     """``(cyclic, transitive)`` counts of directed triangles
     (reference ``apps/flash/subgraph/cyclic-triangle.h`` /

@@ -133,6 +133,59 @@ def _flash_dominating(adj, nodes):
     return {i: int(b[i]) for i in nodes}
 
 
+def test_subgraph_counts_match_bruteforce(spark, rand_graph):
+    from collections import Counter
+
+    from graphscope_spark.operators.triangles import (
+        diamond_count,
+        tailed_triangle_count,
+        three_path_count,
+    )
+
+    g, G = rand_graph
+    tris = [c for c in nx.enumerate_all_cliques(G) if len(c) == 3]
+    p3 = sum((G.degree(u) - 1) * (G.degree(v) - 1)
+             for u, v in G.edges()) - 3 * len(tris)
+    tailed = sum(G.degree(c) - 2 for t in tris for c in t)
+    ec: Counter = Counter()
+    for a, b, c in tris:
+        for x, y in ((a, b), (b, c), (a, c)):
+            ec[(min(x, y), max(x, y))] += 1
+    dia = sum(t * (t - 1) // 2 for t in ec.values())
+    assert three_path_count(g) == p3
+    assert tailed_triangle_count(g) == tailed
+    assert diamond_count(g) == dia
+
+
+def test_k_center_matches_greedy(spark, rand_graph):
+    from graphscope_spark.operators.misc import KCENTER_INF, k_center
+
+    g, G = rand_graph
+    adj = {i: set(G.neighbors(i)) for i in G.nodes()}
+
+    def bfs_d(s):
+        d = {s: 0}
+        q = [s]
+        while q:
+            nq = []
+            for x in q:
+                for y in adj[x]:
+                    if y not in d:
+                        d[y] = d[x] + 1
+                        nq.append(y)
+            q = nq
+        return d
+
+    dis = {i: KCENTER_INF for i in G.nodes()}
+    center = max(G.nodes(), key=lambda i: (len(adj[i]), i))
+    for _ in range(3):
+        for i, h in bfs_d(center).items():
+            dis[i] = min(dis[i], h)
+        center = max(G.nodes(), key=lambda i: (dis[i], i))
+    got = {r["id"]: r["dis"] for r in k_center(g, 3).collect()}
+    assert got == dis
+
+
 def test_min_cover_matches_reference_protocol(spark, rand_graph):
     g, G = rand_graph
     adj = {i: set(G.neighbors(i)) for i in G.nodes()}
