@@ -1932,6 +1932,286 @@ def _simple_paths_sql(cutoff: int = 3) -> str:
     )
 
 
+def q_coloring(spark, sf_dir):
+    """Deterministic greedy coloring — Jones-Plassmann mex fixpoint
+    along (degree, id) priority (reference
+    ``apps/flash/clustering/color.h``), on the min2 backbone."""
+    from graphscope_spark.operators.coloring import greedy_coloring
+
+    return greedy_coloring(part_graph_min2(spark, sf_dir)).select(
+        "id", "color"
+    )
+
+
+def _coloring_sql(rounds: int = 12) -> str:
+    """Unrolled mex fixpoint: each round every vertex recolors to the
+    minimum value excluded from its dominating neighbors' colors."""
+    parts = [
+        _G2,
+        "udeg AS (SELECT v.id, count(e.src) AS d\n"
+        "        FROM verts v LEFT JOIN sym e ON e.src = v.id"
+        " GROUP BY v.id)",
+        "dom AS (SELECT e.src, e.dst FROM sym e\n"
+        "        JOIN udeg a ON a.id = e.src JOIN udeg b ON b.id = e.dst\n"
+        "        WHERE a.d > b.d OR (a.d = b.d AND e.src > e.dst))",
+        "c0 AS (SELECT id, 0 AS c FROM verts)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"u{k} AS (SELECT e.dst AS id,"
+            f" list(DISTINCT s.c ORDER BY s.c) AS used\n"
+            f"        FROM dom e JOIN c{k} s ON s.id = e.src"
+            f" GROUP BY e.dst)"
+        )
+        parts.append(
+            f"c{k + 1} AS (SELECT v.id, coalesce(\n"
+            f"          list_filter(range(0, len(u.used) + 2),\n"
+            f"              x -> NOT list_contains(u.used, x))[1], 0) AS c\n"
+            f"        FROM verts v LEFT JOIN u{k} u ON u.id = v.id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, c::INT AS color FROM c{rounds}"
+    )
+
+
+def q_onion(spark, sf_dir):
+    """Onion-layer ordering (reference
+    ``apps/flash/core/onion-layer-ordering.h``) on the min2 backbone:
+    core decomposition + peel-round layer index."""
+    from graphscope_spark.operators.clustering import onion_layers
+
+    return onion_layers(part_graph_min2(spark, sf_dir)).select(
+        "id", "core", "layer"
+    )
+
+
+def _onion_sql(core_rounds: int = 14, layer_rounds: int = 14) -> str:
+    """Phase A: h-index core fixpoint (unrolled); phase B: per round,
+    rank unranked vertices with same-or-higher-core degree ≤ core,
+    then decrement unranked same-core neighbors of the ranked set."""
+    parts = [
+        _G2,
+        "h0 AS (SELECT v.id, count(e.src)::BIGINT AS h\n"
+        "        FROM verts v LEFT JOIN sym e ON e.src = v.id"
+        " GROUP BY v.id)",
+    ]
+    for k in range(core_rounds):
+        parts.append(
+            f"nbh{k} AS (SELECT e.src AS id, h.h\n"
+            f"        FROM sym e JOIN h{k} h ON h.id = e.dst)"
+        )
+        parts.append(
+            f"hx{k} AS (SELECT id, max(least(r, h)) AS h FROM (\n"
+            f"          SELECT id, h, row_number() OVER"
+            f" (PARTITION BY id ORDER BY h DESC) AS r FROM nbh{k})"
+            f" GROUP BY id)"
+        )
+        parts.append(
+            f"h{k + 1} AS (SELECT v.id, coalesce(x.h, 0)::BIGINT AS h\n"
+            f"        FROM h0 v LEFT JOIN hx{k} x ON x.id = v.id)"
+        )
+    R = core_rounds
+    parts.append(
+        f"dd0 AS (SELECT e.src AS id, count(*)::BIGINT AS n\n"
+        f"        FROM sym e JOIN h{R} a ON a.id = e.src\n"
+        f"        JOIN h{R} b ON b.id = e.dst WHERE b.h >= a.h"
+        f" GROUP BY e.src)"
+    )
+    parts.append(
+        f"o0 AS (SELECT h.id, h.h AS core, coalesce(n.n, 0)::BIGINT AS d,"
+        f" (-1)::BIGINT AS layer\n"
+        f"        FROM h{R} h LEFT JOIN dd0 n ON n.id = h.id)"
+    )
+    for i in range(layer_rounds):
+        parts.append(
+            f"r{i} AS (SELECT id, core, d,\n"
+            f"        CASE WHEN layer = -1 AND d <= core"
+            f" THEN {i}::BIGINT ELSE layer END AS layer,\n"
+            f"        CASE WHEN layer = -1 AND d <= core"
+            f" THEN 1 ELSE 0 END AS new FROM o{i})"
+        )
+        parts.append(
+            f"dc{i} AS (SELECT e.dst AS id, count(*)::BIGINT AS dc\n"
+            f"        FROM sym e JOIN r{i} s ON s.id = e.src"
+            f" AND s.new = 1\n"
+            f"        JOIN r{i} t ON t.id = e.dst AND t.core = s.core"
+            f" GROUP BY e.dst)"
+        )
+        parts.append(
+            f"o{i + 1} AS (SELECT r.id, r.core,\n"
+            f"        CASE WHEN r.layer != -1 THEN r.d"
+            f" ELSE r.d - coalesce(c.dc, 0) END AS d, r.layer\n"
+            f"        FROM r{i} r LEFT JOIN dc{i} c ON c.id = r.id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, core, layer FROM o{layer_rounds}"
+    )
+
+
+def q_min_edge_cover(spark, sf_dir):
+    """Greedy minimum edge cover size via the h60 edge-local-dominance
+    maximal matching (reference ``apps/flash/matching/
+    min-edge-cover.h``) on the min2 backbone:
+    ``cover_size = matched/2 + |unmatched, deg>0|``."""
+    from graphscope_spark.operators.misc import min_edge_cover
+
+    st = min_edge_cover(part_graph_min2(spark, sf_dir))
+    return st.agg(
+        (
+            (F.sum(F.when(F.col("partner") >= 0, 1).otherwise(0)) / 2)
+            + F.sum(
+                F.when((F.col("partner") == -1) & (F.col("d") > 0), 1)
+                .otherwise(0)
+            )
+        ).cast("long").alias("cover_size"),
+        (F.sum(F.when(F.col("partner") >= 0, 1).otherwise(0)) / 2)
+        .cast("long").alias("matched_pairs"),
+    )
+
+
+def _min_edge_cover_sql(rounds: int = 12) -> str:
+    """Unrolled h60 edge-local-dominance maximal matching (identical
+    chain to ``_matching_sql`` but over the min2 backbone), then
+    ``cover = matched_pairs + |unmatched, deg>0|``."""
+    pri = _H60.format("'e:' || src::VARCHAR || ':' || dst::VARCHAR")
+    parts = [
+        _G2,
+        "udeg AS (SELECT v.id, count(e.src)::BIGINT AS d\n"
+        "        FROM verts v LEFT JOIN sym e ON e.src = v.id"
+        " GROUP BY v.id)",
+        f"e0 AS (SELECT src, dst, {pri} AS pri FROM ("
+        "SELECT DISTINCT src, dst FROM sym WHERE src < dst))",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"vm{k} AS (SELECT v, min(m) AS m FROM (\n"
+            f"          SELECT src AS v, ROW(pri, src, dst) AS m FROM e{k}\n"
+            f"          UNION ALL\n"
+            f"          SELECT dst AS v, ROW(pri, src, dst) AS m FROM e{k})"
+            f" GROUP BY v)"
+        )
+        parts.append(
+            f"w{k} AS (SELECT e.src, e.dst FROM e{k} e\n"
+            f"        JOIN vm{k} a ON a.v = e.src"
+            f" JOIN vm{k} b ON b.v = e.dst\n"
+            f"        WHERE ROW(e.pri, e.src, e.dst) = a.m"
+            f" AND ROW(e.pri, e.src, e.dst) = b.m)"
+        )
+        parts.append(
+            f"mv{k} AS (SELECT src AS v FROM w{k}"
+            f" UNION SELECT dst FROM w{k})"
+        )
+        parts.append(
+            f"e{k + 1} AS (SELECT e.src, e.dst, e.pri FROM e{k} e\n"
+            f"        LEFT JOIN mv{k} x ON x.v = e.src"
+            f" LEFT JOIN mv{k} y ON y.v = e.dst\n"
+            f"        WHERE x.v IS NULL AND y.v IS NULL)"
+        )
+    allw = "\nUNION ALL ".join(
+        f"SELECT src, dst FROM w{k}" for k in range(rounds)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f",\nmm AS ({allw}),\n"
+        + "mmv AS (SELECT src AS id FROM mm UNION SELECT dst FROM mm)"
+        + """
+SELECT ((SELECT count(*) FROM mm)
+        + (SELECT count(*) FROM udeg u
+           WHERE u.d > 0 AND u.id NOT IN (SELECT id FROM mmv))
+       )::BIGINT AS cover_size,
+       ((SELECT count(*) FROM mm))::BIGINT AS matched_pairs"""
+    )
+
+
+def _mixed_digraph(spark, sf_dir):
+    """Deterministic directed graph WITH reciprocal pairs for the
+    directed-triangle variants: each co-order pair oriented by a
+    direction hash, plus the reverse edge for the ~1/3 of pairs whose
+    reciprocity hash selects it (both hashes SQL-reproducible h60)."""
+    from graphscope_spark.functions.text import h60
+    from graphscope_spark.graph import Graph
+
+    verts, dedges = part_edges(spark, sf_dir)
+    key = F.concat(
+        F.col("src").cast("string"), F.lit(":"), F.col("dst").cast("string")
+    )
+    dir_h = h60(F.concat(F.lit("d:"), key))
+    rec_h = h60(F.concat(F.lit("r:"), key))
+    mx = dedges.select(
+        F.when(dir_h % 2 == 0, F.col("src")).otherwise(F.col("dst"))
+        .alias("s2"),
+        F.when(dir_h % 2 == 0, F.col("dst")).otherwise(F.col("src"))
+        .alias("d2"),
+        (rec_h % 3 == 0).alias("rec"),
+    )
+    e = mx.select(F.col("s2").alias("src"), F.col("d2").alias("dst")).unionByName(
+        mx.where("rec").select(
+            F.col("d2").alias("src"), F.col("s2").alias("dst")
+        )
+    )
+    return Graph.from_edges(e, directed=True, vertices=verts)
+
+
+_GM = (
+    _G
+    + """,
+mx AS (SELECT CASE WHEN dh % 2 = 0 THEN src ELSE dst END AS s2,
+              CASE WHEN dh % 2 = 0 THEN dst ELSE src END AS d2,
+              (rh % 3 = 0) AS rec
+       FROM (SELECT src, dst,
+                ('0x' || substr(md5('d:' || src::VARCHAR || ':'
+                     || dst::VARCHAR), 1, 15))::BIGINT AS dh,
+                ('0x' || substr(md5('r:' || src::VARCHAR || ':'
+                     || dst::VARCHAR), 1, 15))::BIGINT AS rh
+             FROM dedges)),
+de AS (SELECT s2 AS src, d2 AS dst FROM mx
+       UNION ALL SELECT d2 AS src, s2 AS dst FROM mx WHERE rec)"""
+)
+
+
+def q_tri_variants(spark, sf_dir):
+    """FLASH directed-triangle variant counts — acyclic / in+ / out+ /
+    cycle+ (reference ``apps/flash/subgraph/*-triangle.h``) on the
+    hash-mixed digraph (one row, four counts)."""
+    from graphscope_spark.operators.triangles import (
+        directed_triangle_variants,
+    )
+
+    ac, inp, outp, cyc = directed_triangle_variants(
+        _mixed_digraph(spark, sf_dir)
+    )
+    return spark.createDataFrame(
+        [(int(ac), int(inp), int(outp), int(cyc))],
+        "acyclic long, in_plus long, out_plus long, cycle_plus long",
+    )
+
+
+_TRI_VARIANTS_SQL = (
+    "WITH "
+    + _GM
+    + """,
+rc AS (SELECT a.src AS u, a.dst AS v FROM de a
+       JOIN de b ON b.src = a.dst AND b.dst = a.src)
+SELECT
+  (SELECT count(*) FROM de p
+   JOIN de e1 ON e1.src = p.src
+   JOIN de e2 ON e2.src = p.dst AND e2.dst = e1.dst)::BIGINT AS acyclic,
+  (SELECT count(*) FROM rc
+   JOIN de e1 ON e1.src = rc.u
+   JOIN de e2 ON e2.src = rc.v AND e2.dst = e1.dst
+   WHERE rc.u < rc.v)::BIGINT AS in_plus,
+  (SELECT count(*) FROM rc
+   JOIN de e1 ON e1.dst = rc.u
+   JOIN de e2 ON e2.dst = rc.v AND e2.src = e1.src
+   WHERE rc.u < rc.v)::BIGINT AS out_plus,
+  (SELECT count(*) FROM rc
+   JOIN de e1 ON e1.dst = rc.u
+   JOIN de e2 ON e2.src = rc.v AND e2.dst = e1.src)::BIGINT AS cycle_plus"""
+)
+
+
 def q_bfs_pred(spark, sf_dir):
     """BFS predecessor tree from the min part key (reference
     ``apps/bfs/bfs_generic.h`` ``output_format="predecessors"``),
@@ -2949,6 +3229,7 @@ _REGISTRY_ORDER = [
     "k5_count", "min_cover", "min_dominating",
     "three_path", "tailed_tri", "diamond", "k_center",
     "is_simple_path", "path_sample", "simple_paths",
+    "coloring", "onion_layers", "min_edge_cover", "tri_variants",
     # changed in round 3
     "voterank", "edge_betweenness_sample",
     # remaining high-value graph queries (inside the 50-window)
@@ -3186,6 +3467,10 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "is_simple_path": (q_is_simple_path, _IS_SIMPLE_PATH_SQL),
         "path_sample": (q_path_sample, _PATH_SAMPLE_SQL),
         "simple_paths": (q_simple_paths, _simple_paths_sql(3)),
+        "coloring": (q_coloring, _coloring_sql(20)),
+        "onion_layers": (q_onion, _onion_sql(24, 28)),
+        "min_edge_cover": (q_min_edge_cover, _min_edge_cover_sql(12)),
+        "tri_variants": (q_tri_variants, _TRI_VARIANTS_SQL),
     }
     missing = [n for n in _REGISTRY_ORDER if n not in entries]
     extra = [n for n in entries if n not in _REGISTRY_ORDER]

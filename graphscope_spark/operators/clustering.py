@@ -387,3 +387,97 @@ def core_numbers(graph: Graph, max_k: int | None = None) -> DataFrame:
         k += 1
     _ = spark  # session kept for symmetry with other apps
     return result
+
+
+def onion_layers(graph: Graph, max_iter: int = 10_000) -> DataFrame:
+    """``(id long, core long, layer long)`` — onion-layer ordering
+    (reference ``apps/flash/core/onion-layer-ordering.h``): after the
+    core decomposition, repeatedly peel every vertex whose remaining
+    same-or-higher-core degree is ≤ its coreness; the round index a
+    vertex is peeled in is its onion layer (Hébert-Dufresne et al.'s
+    internal structure ordering, layer 0 = the first peel).
+
+    The reference protocol, re-expressed: ``d(v)`` starts as the
+    number of neighbors with ``core ≥ core(v)``; a round ranks every
+    unranked ``v`` with ``d(v) ≤ core(v)``, then subtracts from each
+    unranked vertex the number of just-ranked SAME-core neighbors
+    (higher-core neighbors never counted lower-core ones, so no
+    decrement crosses core levels).  Each round is one frontier join
+    + one counting shuffle, identical machinery to the kcore peel.
+    """
+    edges = graph.symmetrized_edges().select("src", "dst").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    core = core_numbers_hindex(graph)
+    # d0 = # neighbors with core >= own core
+    nbc = edges.join(
+        core.select(F.col("id").alias("dst"), F.col("core").alias("cd")),
+        "dst",
+    ).select(F.col("src").alias("id"), "cd")
+    d0 = (
+        core.join(
+            nbc.groupBy("id", "cd").agg(F.count(F.lit(1)).alias("n")),
+            "id",
+            "left",
+        )
+        .groupBy("id", "core")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("cd") >= F.col("core"), F.col("n"))
+                    .otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            ).alias("d")
+        )
+    )
+    from graphscope_spark.plans.checkpoint import LoopTruncator
+
+    # The layer loop runs one round PER onion layer — routinely past
+    # the ~15-round chained-localCheckpoint cliff (see LoopTruncator),
+    # so state truncation must be the hybrid hard-cut.
+    trunc = LoopTruncator(graph.vertices.sparkSession, "onion")
+    state = trunc.cut(
+        d0.select(
+            "id", "core", F.col("d").cast("long").alias("d"),
+            F.lit(-1).cast("long").alias("layer"),
+        )
+    )
+    for i in range(max_iter):
+        newly = state.where(
+            (F.col("layer") == -1) & (F.col("d") <= F.col("core"))
+        ).select("id", F.col("core").alias("score"))
+        if newly.limit(1).count() == 0:
+            break
+        ranked = state.withColumn(
+            "layer",
+            F.when(
+                (F.col("layer") == -1) & (F.col("d") <= F.col("core")),
+                F.lit(i).cast("long"),
+            ).otherwise(F.col("layer")),
+        )
+        # decrement unranked SAME-core neighbors of the just-ranked set
+        dec = (
+            edges.join(newly.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), "score")
+            .join(ranked.select("id", "core"), "id")
+            .where(F.col("score") == F.col("core"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("dc"))
+        )
+        state = trunc.cut(
+            ranked.join(dec, "id", "left")
+            .select(
+                "id", "core",
+                F.when(F.col("layer") != -1, F.col("d"))
+                .otherwise(F.col("d") - F.coalesce("dc", F.lit(0)))
+                .alias("d"),
+                "layer",
+            )
+        )
+    edges.unpersist()
+    out = state.select("id", "core", "layer")
+    # materialize before the scratch dir vanishes
+    out = out.localCheckpoint(eager=True)
+    trunc.close()
+    return out

@@ -588,3 +588,49 @@ def voterank(graph: Graph, num_seeds: int = 10) -> DataFrame:
     return spark.createDataFrame(
         elected_rows or [(None, None)], "id long, rank int"
     ).where(F.col("id").isNotNull())
+
+
+def min_edge_cover(graph: Graph, max_iter: int = 10_000) -> DataFrame:
+    """``(id long, d long, partner long)`` per-vertex edge-cover state
+    — FLASH's greedy minimum edge cover (reference
+    ``apps/flash/matching/min-edge-cover.h``): run the deterministic
+    local-min maximal matching (``maximal_matching`` — h60 edge
+    priorities, an edge matches iff it is the priority minimum at BOTH
+    endpoints; O(log m) rounds), then the cover is the matched pairs
+    plus one pendant edge per remaining non-isolated unmatched vertex
+    — the reference counts ``matched/2 + |unmatched, deg>0|``.
+
+    ``partner`` = matched partner id, −1 if unmatched.  An earlier
+    formulation (mutual min-(degree,id) proposals) was correct but
+    inherently sequential on dense communities — cliques match one
+    pair per round, O(n) rounds — so it was replaced by the
+    edge-local-dominance matching whose round count is logarithmic
+    (Luby-style MIS on the line graph); the cover-size semantics are
+    unchanged (any maximal matching yields the same 3/2-approximation
+    guarantee, and the h60 priority makes THIS matching deterministic
+    and SQL-reproducible).
+    """
+    edges = graph.symmetrized_edges().select("src", "dst").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    m = maximal_matching(graph, max_iter=max_iter)
+    partners = m.select(
+        F.col("src").alias("id"), F.col("dst").alias("partner")
+    ).unionByName(
+        m.select(F.col("dst").alias("id"), F.col("src").alias("partner"))
+    )
+    out = (
+        graph.vertices.select("id")
+        .join(deg, "id", "left")
+        .join(partners, "id", "left")
+        .select(
+            "id",
+            F.coalesce("d", F.lit(0).cast("long")).alias("d"),
+            F.coalesce("partner", F.lit(-1).cast("long")).alias("partner"),
+        )
+    )
+    edges.unpersist()
+    return out

@@ -340,3 +340,64 @@ def rectangle_count(graph: Graph) -> int:
         or 0
     )
     return int(total) // 4
+
+
+def directed_triangle_variants(graph: Graph) -> tuple[int, int, int, int]:
+    """``(acyclic, in_plus, out_plus, cycle_plus)`` global counts of
+    FLASH's directed-triangle census variants (reference
+    ``apps/flash/subgraph/{acyclic,in,out,cycle-plus}-triangle.h``),
+    over the distinct directed edge set E with N⁺/N⁻ the out/in
+    neighbor sets:
+
+    - acyclic:    Σ over (u,v)∈E of \\|N⁺(u) ∩ N⁺(v)\\| — each
+      transitive orientation counted from its top edge.
+    - in_plus:    Σ over unordered reciprocal pairs {u,v} of
+      \\|N⁺(u) ∩ N⁺(v)\\| (the reference's (deg, id)-priority pick of
+      one ordered direction — the summand is symmetric, so the
+      canonical u<v pick is identical).
+    - out_plus:   Σ over unordered reciprocal pairs of
+      \\|N⁻(u) ∩ N⁻(v)\\|.
+    - cycle_plus: Σ over ORDERED reciprocal pairs (u,v) of
+      \\|N⁻(u) ∩ N⁺(v)\\| (the reference's third pass has no priority
+      filter, so both directions count).
+
+    Each count is the standard two-hop pair join — wedge rows bounded
+    by Σ_e d(u)·d(v) like the undirected triangle join; at scale the
+    same degree-orientation trick applies but the reference's
+    definitions are direction-anchored, so the straightforward join
+    keeps parity obvious.
+    """
+    E = graph.edges.select("src", "dst").distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    E.count()
+
+    def common(pairs: DataFrame, first_in: bool, second_out: bool) -> int:
+        """# rows (u,v,x): (u,x) or (x,u) in E per first_in, and
+        (v,x) or (x,v) per second_out."""
+        e1 = (
+            E.select(F.col("dst").alias("u"), F.col("src").alias("x"))
+            if first_in
+            else E.select(F.col("src").alias("u"), F.col("dst").alias("x"))
+        )
+        e2 = (
+            E.select(F.col("src").alias("v"), F.col("dst").alias("x"))
+            if second_out
+            else E.select(F.col("dst").alias("v"), F.col("src").alias("x"))
+        )
+        return pairs.join(e1, "u").join(e2, ["v", "x"]).count()
+
+    recip = E.select(F.col("src").alias("u"), F.col("dst").alias("v")).join(
+        E.select(F.col("dst").alias("u"), F.col("src").alias("v")),
+        ["u", "v"],
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    all_pairs = E.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    recip_u = recip.where(F.col("u") < F.col("v"))
+
+    acyclic = common(all_pairs, first_in=False, second_out=True)
+    in_plus = common(recip_u, first_in=False, second_out=True)
+    out_plus = common(recip_u, first_in=True, second_out=False)
+    cycle_plus = common(recip, first_in=True, second_out=True)
+    recip.unpersist()
+    E.unpersist()
+    return acyclic, in_plus, out_plus, cycle_plus

@@ -112,6 +112,19 @@ CASES = {
     "bfs_pred": (
         lambda: E._bfs_pred_sql(6), lambda: E._bfs_pred_sql(7)
     ),
+    # round-3 additions: Jones-Plassmann mex fixpoint, onion-layer
+    # peel (core rounds + layer rounds bumped together), and the
+    # edge-local-dominance matching underlying the edge cover
+    "coloring": (
+        lambda: E._coloring_sql(20), lambda: E._coloring_sql(21)
+    ),
+    "onion_layers": (
+        lambda: E._onion_sql(24, 28), lambda: E._onion_sql(25, 29)
+    ),
+    "min_edge_cover": (
+        lambda: E._min_edge_cover_sql(12),
+        lambda: E._min_edge_cover_sql(13),
+    ),
 }
 
 

@@ -1,0 +1,146 @@
+"""Round-3 batch 2: coloring, onion layers, min edge cover, directed
+triangle variants — each checked against an independent pure-Python
+implementation of the same deterministic protocol."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import networkx as nx
+import pytest
+
+from graphscope_spark.graph import Graph
+from graphscope_spark.operators.clustering import onion_layers
+from graphscope_spark.operators.coloring import greedy_coloring
+from graphscope_spark.operators.misc import min_edge_cover
+from graphscope_spark.operators.triangles import directed_triangle_variants
+
+
+def h60py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def rand_graph(spark):
+    random.seed(11)
+    n = 60
+    edges = set()
+    while len(edges) < 150:
+        u, v = random.randrange(n), random.randrange(n)
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    G = nx.Graph(sorted(edges))
+    G.add_nodes_from(range(n))
+    edf = spark.createDataFrame(sorted(edges), "src long, dst long")
+    vdf = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    g = Graph.from_edges(edf, directed=False, vertices=vdf,
+                         num_partitions=4)
+    return g, G
+
+
+def test_coloring_is_proper_and_matches_priority_greedy(spark, rand_graph):
+    g, G = rand_graph
+    got = {r["id"]: r["color"]
+           for r in greedy_coloring(g).collect()}
+    # proper coloring
+    for u, v in G.edges():
+        assert got[u] != got[v], f"edge ({u},{v}) monochromatic"
+    # fixpoint == sequential greedy along decreasing (deg, id) priority
+    order = sorted(G.nodes(), key=lambda v: (G.degree(v), v), reverse=True)
+    exp: dict[int, int] = {}
+    for v in order:
+        used = {exp[u] for u in G.neighbors(v) if u in exp}
+        c = 0
+        while c in used:
+            c += 1
+        exp[v] = c
+    assert got == exp
+
+
+def test_onion_layers_matches_python_peel(spark, rand_graph):
+    g, G = rand_graph
+    got = {r["id"]: (r["core"], r["layer"])
+           for r in onion_layers(g).collect()}
+    core = nx.core_number(G) if G.number_of_edges() else {}
+    # python peel replicating the operator's protocol
+    d = {
+        v: sum(1 for u in G.neighbors(v) if core[u] >= core[v])
+        for v in G.nodes()
+    }
+    layer = {v: -1 for v in G.nodes()}
+    i = 0
+    while True:
+        newly = [v for v in G.nodes()
+                 if layer[v] == -1 and d[v] <= core[v]]
+        if not newly:
+            break
+        for v in newly:
+            layer[v] = i
+        ns = set(newly)
+        for v in newly:
+            for u in G.neighbors(v):
+                if layer[u] == -1 and core[u] == core[v]:
+                    d[u] -= 1
+        _ = ns
+        i += 1
+    exp = {v: (core[v], layer[v]) for v in G.nodes()}
+    assert got == exp
+
+
+def test_min_edge_cover_matches_python_protocol(spark, rand_graph):
+    g, G = rand_graph
+    rows = min_edge_cover(g).collect()
+    got_pairs = sum(1 for r in rows if r["partner"] >= 0) // 2
+    got_cover = got_pairs + sum(
+        1 for r in rows if r["partner"] == -1 and r["d"] > 0
+    )
+    # python edge-local-dominance maximal matching, same h60 priority
+    active = {(u, v) for u, v in G.edges()}
+    active = {(min(u, v), max(u, v)) for u, v in active}
+    matched: set[int] = set()
+    pairs = 0
+    while active:
+        pri = {e: (h60py(f"e:{e[0]}:{e[1]}"), e[0], e[1]) for e in active}
+        vmin: dict[int, tuple] = {}
+        for e, p in pri.items():
+            for v in e:
+                if v not in vmin or p < vmin[v]:
+                    vmin[v] = p
+        winners = [e for e, p in pri.items()
+                   if vmin[e[0]] == p and vmin[e[1]] == p]
+        assert winners, "no progress"
+        for u, v in winners:
+            matched.update((u, v))
+            pairs += 1
+        active = {e for e in active
+                  if e[0] not in matched and e[1] not in matched}
+    exp_cover = pairs + sum(
+        1 for v in G.nodes() if v not in matched and G.degree(v) > 0
+    )
+    assert (got_pairs, got_cover) == (pairs, exp_cover)
+
+
+def test_directed_triangle_variants_match_bruteforce(spark):
+    random.seed(13)
+    n = 40
+    edges = set()
+    while len(edges) < 160:
+        u, v = random.randrange(n), random.randrange(n)
+        if u != v:
+            edges.add((u, v))
+    edf = spark.createDataFrame(sorted(edges), "src long, dst long")
+    vdf = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    g = Graph.from_edges(edf, directed=True, vertices=vdf,
+                         num_partitions=4)
+    got = directed_triangle_variants(g)
+
+    E = edges
+    out = {u: {v for (a, v) in E if a == u} for u in range(n)}
+    inn = {u: {v for (v, a) in E if a == u} for u in range(n)}
+    acyclic = sum(len(out[u] & out[v]) for (u, v) in E)
+    recip = [(u, v) for (u, v) in E if (v, u) in E]
+    in_plus = sum(len(out[u] & out[v]) for (u, v) in recip if u < v)
+    out_plus = sum(len(inn[u] & inn[v]) for (u, v) in recip if u < v)
+    cycle_plus = sum(len(inn[u] & out[v]) for (u, v) in recip)
+    assert got == (acyclic, in_plus, out_plus, cycle_plus)
