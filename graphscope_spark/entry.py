@@ -684,6 +684,59 @@ QUALIFY row_number() OVER (PARTITION BY query_id
                            ORDER BY cos DESC, vec_id ASC) <= {k}"""
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-flat approximate nearest neighbor: h60-seeded coarse
+    quantizer, per-query 2-of-8 posting-list probe, exact 6-dp rerank
+    within the probed lists (``similarity.ivf_topk``) — the IVF scale
+    path next to the hyperplane-LSH one."""
+    from graphscope_spark.functions.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, qv, k=10, n_centroids=8, n_probe=2)
+
+
+def _ann_ivf_sql(k: int = 10, n_centroids: int = 8,
+                 n_probe: int = 2) -> str:
+    """Mirrors ``similarity.ivf_topk`` list-for-list: same h60 seed
+    pick, same 6-dp rounded centroid/probe/rerank cosines, same
+    (cos DESC, id ASC) tie-breaks — every distance is a fold over the
+    original float vectors, so the compare is exact."""
+    hp = _H60.format("'c:' || vec_id::VARCHAR")
+    return f"""\
+WITH {_EMB},
+hp AS (SELECT vec_id, v, n, {hp} AS hp FROM en),
+cent AS (SELECT row_number() OVER (ORDER BY hp, vec_id) - 1 AS cid,
+                v AS cv, n AS cn
+         FROM hp ORDER BY hp, vec_id LIMIT {n_centroids}),
+assign AS (SELECT vec_id, cid, v, n FROM (
+           SELECT en.vec_id, c.cid, en.v, en.n,
+                  row_number() OVER (PARTITION BY en.vec_id
+                      ORDER BY round(list_dot_product(en.v, c.cv)
+                                     / (en.n * c.cn), 6) DESC,
+                               c.cid ASC) AS rn
+           FROM en CROSS JOIN cent c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM en
+      WHERE vec_id < 5),
+probes AS (SELECT query_id, cid, qv, qn FROM (
+           SELECT q.query_id, c.cid, q.qv, q.qn,
+                  row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY round(list_dot_product(q.qv, c.cv)
+                                     / (q.qn * c.cn), 6) DESC,
+                               c.cid ASC) AS rn
+           FROM q CROSS JOIN cent c) WHERE rn <= {n_probe}),
+cand AS (SELECT p.query_id, a.vec_id,
+                round(list_dot_product(a.v, p.qv)
+                      / (a.n * p.qn), 6) AS cos
+         FROM probes p JOIN assign a ON a.cid = p.cid
+         WHERE a.vec_id <> p.query_id)
+SELECT query_id, vec_id, cos FROM cand
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos DESC, vec_id ASC) <= {k}"""
+
+
 def _embedding_near_dup_sql(threshold: float = 0.4) -> str:
     """Mirrors ``similarity.cosine_lsh_pairs`` bucket-for-bucket: the
     ±1 plane coefficients are the same driver-derived literals, and the
@@ -3230,6 +3283,7 @@ _REGISTRY_ORDER = [
     "three_path", "tailed_tri", "diamond", "k_center",
     "is_simple_path", "path_sample", "simple_paths",
     "coloring", "onion_layers", "min_edge_cover", "tri_variants",
+    "ann_ivf",
     # changed in round 3
     "voterank", "edge_betweenness_sample",
     # remaining high-value graph queries (inside the 50-window)
@@ -3471,6 +3525,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "onion_layers": (q_onion, _onion_sql(24, 28)),
         "min_edge_cover": (q_min_edge_cover, _min_edge_cover_sql(12)),
         "tri_variants": (q_tri_variants, _TRI_VARIANTS_SQL),
+        "ann_ivf": (q_ann_ivf, _ann_ivf_sql(10, 8, 2)),
     }
     missing = [n for n in _REGISTRY_ORDER if n not in entries]
     extra = [n for n in entries if n not in _REGISTRY_ORDER]

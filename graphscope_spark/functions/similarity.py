@@ -208,3 +208,115 @@ def cosine_lsh_pairs(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: ``(centroids, assignment)``.
+
+    Centroids are ``n_centroids`` corpus vectors picked by smallest
+    ``h60("c:" || id)`` — a deterministic sample standing in for a
+    k-means codebook (FAISS trains IVF on a sample; the sampled-seed
+    coarse quantizer keeps every distance a fold over ORIGINAL float
+    values, so a SQL oracle is bit-identical — no float-mean drift).
+    Every corpus vector is assigned to its max-cosine centroid
+    (6-dp rounded, ties to the smallest centroid index).
+
+    Scale shape: centroids are broadcast (tiny), assignment is one
+    map-side pass over the corpus — no shuffle; the posting lists are
+    the corpus partitioned by ``cid``.
+    """
+    from graphscope_spark.functions.text import h60
+
+    c = corpus.select(
+        F.col(id_col), _as_double(vec_col).alias("v")
+    ).withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    seeds = (
+        c.withColumn(
+            "hp", h60(F.concat(F.lit("c:"), F.col(id_col).cast("string")))
+        )
+        .orderBy("hp", id_col)
+        .limit(n_centroids)
+    )
+    wc = Window.orderBy("hp", id_col)
+    cent = seeds.select(
+        (F.row_number().over(wc) - 1).alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("n").alias("cn"),
+    )
+    scored = c.crossJoin(F.broadcast(cent)).withColumn(
+        "ccos",
+        F.round(_dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn")), 6),
+    )
+    wa = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cid"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") == 1)
+        .select(id_col, "cid", "v", "n")
+    )
+    return cent, assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-flat approximate top-k: ``(query_id, vec_id, cos)``.
+
+    The 100 TB scale path for similarity search alongside
+    ``cosine_lsh_pairs``: each query probes its ``n_probe`` nearest
+    centroids and exact-reranks ONLY the vectors assigned to those
+    posting lists — candidate work is ~``n_probe/n_centroids`` of the
+    corpus instead of all of it.  With ``n_probe == n_centroids`` the
+    search is exhaustive and equals ``cosine_topk`` exactly (tested).
+    Same determinism contract as ``cosine_topk``: 6-dp rounded cosine,
+    ties by ascending neighbor id; recall < 1 by construction for
+    ``n_probe < n_centroids``, and the oracle reproduces the identical
+    probe set so the compare is exact.
+    """
+    cent, assign = ivf_assign(corpus, n_centroids, id_col, vec_col)
+    q = queries.select(
+        F.col(query_id_col), _as_double(vec_col).alias("qv")
+    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    qscored = q.crossJoin(F.broadcast(cent)).withColumn(
+        "ccos",
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+        ),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.desc("ccos"), F.asc("cid")
+    )
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probe)
+        .select(query_id_col, "cid", "qv", "qn")
+    )
+    cand = (
+        probes.join(assign, "cid")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("v"), F.col("qv")) / (F.col("n") * F.col("qn")), 6
+            ),
+        )
+    )
+    wk = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos"), F.asc(id_col)
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= k)
+        .select(query_id_col, id_col, "cos")
+    )

@@ -144,3 +144,39 @@ def test_directed_triangle_variants_match_bruteforce(spark):
     out_plus = sum(len(inn[u] & inn[v]) for (u, v) in recip if u < v)
     cycle_plus = sum(len(inn[u] & out[v]) for (u, v) in recip)
     assert got == (acyclic, in_plus, out_plus, cycle_plus)
+
+
+def test_ivf_full_probe_equals_exact(spark):
+    """With n_probe == n_centroids the IVF search is exhaustive and
+    must equal brute-force cosine_topk exactly; with n_probe=1 it
+    returns a subset ranking with the same determinism contract."""
+    import numpy as np
+
+    from graphscope_spark.functions.similarity import (
+        cosine_topk, ivf_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=16)])
+            for i in range(120)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    q = emb.where("vec_id < 4").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    exact = {(r["query_id"], r["vec_id"], r["cos"])
+             for r in cosine_topk(emb, q, k=5).collect()}
+    full = {(r["query_id"], r["vec_id"], r["cos"])
+            for r in ivf_topk(emb, q, k=5, n_centroids=6,
+                              n_probe=6).collect()}
+    assert full == exact
+    part = ivf_topk(emb, q, k=5, n_centroids=6, n_probe=1).collect()
+    assert len(part) <= 20 and all(r["cos"] <= 1.0 for r in part)
+    # probe-1 results are a subset of each query's bucket, still
+    # correctly ranked: cos non-increasing per query
+    per_q: dict[int, list[float]] = {}
+    for r in sorted(part, key=lambda r: (r["query_id"], -r["cos"])):
+        per_q.setdefault(r["query_id"], []).append(r["cos"])
+    for vals in per_q.values():
+        assert vals == sorted(vals, reverse=True)
