@@ -2418,12 +2418,14 @@ def q_cut_points(spark, sf_dir):
     )
 
 
-def _cut_points_sql(wrounds: int = 8, depth: int = 6,
-                    arounds: int = 8) -> str:
-    """Tarjan-Vishkin unroll: subtree sizes (bottom-up), preorder
-    (top-down window prefix-sums), low/high (bottom-up), auxiliary
-    graph (rules 1+2), min-label components with pointer jumping
-    (``arounds``), then the ≥2-distinct-blocks incidence test."""
+def _tv_sql_parts(wrounds: int = 8, depth: int = 6,
+                  arounds: int = 8) -> list[str]:
+    """Tarjan-Vishkin unroll shared by the ``cut_points`` and ``bcc``
+    oracles: subtree sizes (bottom-up), preorder (top-down window
+    prefix-sums), low/high (bottom-up), auxiliary graph (rules 1+2),
+    min-label components with pointer jumping (``arounds``).  Ends
+    with ``blks(id, blk)`` — every non-root vertex (≡ its parent
+    tree edge) labeled with its biconnected block's min member id."""
     parts = _forest_sql_parts(wrounds, depth)
     # subtree sizes, bottom-up
     parts.append(
@@ -2546,6 +2548,14 @@ def _cut_points_sql(wrounds: int = 8, depth: int = 6,
     parts.append(
         f"blks AS (SELECT id, blk FROM a{arounds})"
     )
+    return parts
+
+
+def _cut_points_sql(wrounds: int = 8, depth: int = 6,
+                    arounds: int = 8) -> str:
+    """Tarjan-Vishkin blocks (``_tv_sql_parts``) followed by the
+    ≥2-distinct-blocks incidence test."""
+    parts = _tv_sql_parts(wrounds, depth, arounds)
     parts.append(
         "vb AS (SELECT p.pred AS id, b.blk FROM par p"
         " JOIN blks b ON b.id = p.id\n"
@@ -2558,6 +2568,34 @@ def _cut_points_sql(wrounds: int = 8, depth: int = 6,
 cnt AS (SELECT id, count(DISTINCT blk) AS nb FROM vb GROUP BY id)
 SELECT v.id, CASE WHEN coalesce(c.nb, 0) >= 2 THEN 1 ELSE 0 END AS is_cut
 FROM verts v LEFT JOIN cnt c ON c.id = v.id"""
+    )
+
+
+def q_bcc(spark, sf_dir):
+    """Biconnected components of the min2-thresholded co-order graph:
+    every canonical tree edge labeled with its block's min non-root
+    member id (reference ``apps/flash/connectivity/bcc.h`` labels the
+    same decomposition; see ``operators/bcc.py``)."""
+    from graphscope_spark.operators.bcc import biconnected_edge_labels
+
+    return biconnected_edge_labels(part_graph_min2(spark, sf_dir)).select(
+        "src", "dst", "block"
+    )
+
+
+def _bcc_sql(wrounds: int = 8, depth: int = 6, arounds: int = 8) -> str:
+    """Tarjan-Vishkin blocks (``_tv_sql_parts``); each tree edge is
+    represented by its child endpoint, so the per-edge block label is
+    a join of ``par`` against ``blks``."""
+    parts = _tv_sql_parts(wrounds, depth, arounds)
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT least(p.pred, p.id) AS src,"
+          " greatest(p.pred, p.id) AS dst, b.blk AS block\n"
+          "FROM par p JOIN blks b ON b.id = p.id\n"
+          "UNION ALL\n"
+          "SELECT n.src, n.dst, b.blk AS block\n"
+          "FROM nt n JOIN blks b ON b.id = n.src WHERE n.src < n.dst"
     )
 
 
@@ -3278,7 +3316,7 @@ _REGISTRY_ORDER = [
     "minhash_lsh", "simhash", "embedding_topk", "text_stats", "lang_id",
     "doc_fingerprint", "khop2", "rel_semijoin",
     # new in round 3
-    "bridges", "cut_points", "msf", "core_numbers", "bfs_pred",
+    "bridges", "cut_points", "bcc", "msf", "core_numbers", "bfs_pred",
     "k5_count", "min_cover", "min_dominating",
     "three_path", "tailed_tri", "diamond", "k_center",
     "is_simple_path", "path_sample", "simple_paths",
@@ -3509,6 +3547,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "k5_count": (q_k5_count, _K5_COUNT_SQL),
         "bridges": (q_bridges, _bridges_sql(14, 12)),
         "cut_points": (q_cut_points, _cut_points_sql(14, 12, 10)),
+        "bcc": (q_bcc, _bcc_sql(14, 12, 10)),
         "bfs_pred": (q_bfs_pred, _bfs_pred_sql(6)),
         "msf": (q_msf, _msf_sql(12, 6)),
         "core_numbers": (q_core_numbers, _core_numbers_sql(20)),

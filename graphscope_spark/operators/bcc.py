@@ -230,9 +230,9 @@ def bridges(graph: Graph) -> DataFrame:
     )
 
 
-def _blocks(graph: Graph) -> tuple[DataFrame, DataFrame]:
-    """Returns ``(info, block)`` where ``block(id, block)`` labels
-    every NON-ROOT vertex (≡ its parent tree edge) with its
+def _blocks(graph: Graph) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Returns ``(info, nontree, block)`` where ``block(id, block)``
+    labels every NON-ROOT vertex (≡ its parent tree edge) with its
     biconnected component's min member id."""
     from graphscope_spark.operators.wcc import wcc
 
@@ -277,16 +277,20 @@ def _blocks(graph: Graph) -> tuple[DataFrame, DataFrame]:
     aux = Graph.from_edges(aux_edges, directed=False, vertices=nonroots,
                            num_partitions=graph.num_partitions)
     block = wcc(aux).withColumnRenamed("comp", "block")
-    return info, block
+    return info, nontree, block
 
 
 def biconnected_edge_labels(graph: Graph) -> DataFrame:
-    """``(src long, dst long, block long)`` — every canonical TREE
-    edge labeled with its biconnected component (min non-root member
-    id of the block); reference ``apps/flash/connectivity/bcc.h``
-    labels vertices per block via the same decomposition."""
-    info, block = _blocks(graph)
-    return (
+    """``(src long, dst long, block long)`` — EVERY canonical edge
+    labeled with its biconnected component (min non-root member id of
+    the block); reference ``apps/flash/connectivity/bcc.h`` labels
+    the same decomposition.  Tree edge (p(v), v) carries block(v); a
+    non-tree edge never touches a BFS root and neither endpoint is
+    the LCA of the cycle it closes, so both endpoints' parent edges
+    lie on that cycle and share its block — label it via either
+    endpoint."""
+    info, nontree, block = _blocks(graph)
+    tree = (
         info.where(F.col("pred").isNotNull())
         .join(block, "id")
         .select(
@@ -295,13 +299,19 @@ def biconnected_edge_labels(graph: Graph) -> DataFrame:
             "block",
         )
     )
+    nt = (
+        nontree.where(F.col("src") < F.col("dst"))
+        .join(block.withColumnRenamed("id", "src"), "src")
+        .select("src", "dst", "block")
+    )
+    return tree.unionByName(nt)
 
 
 def articulation_points(graph: Graph) -> DataFrame:
     """``(id long, is_cut int)`` — 1 iff removing the vertex
     disconnects its component: the vertex's incident tree edges span
     ≥ 2 distinct biconnected blocks (for roots: its child edges)."""
-    info, block = _blocks(graph)
+    info, _, block = _blocks(graph)
     # child edges of v carry block(child); the parent edge carries
     # block(v) itself
     child_blocks = (

@@ -10,7 +10,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from graphscope_spark.graph import Graph
-from graphscope_spark.operators.bcc import articulation_points, bridges
+from graphscope_spark.operators.bcc import (
+    articulation_points,
+    biconnected_edge_labels,
+    bridges,
+)
 from graphscope_spark.operators.msf import minimum_spanning_forest
 
 
@@ -39,6 +43,18 @@ def test_bridges_and_cut_points_match_networkx(spark, name, G):
     got_c = {r["id"] for r in articulation_points(g).collect()
              if r["is_cut"]}
     assert got_c == set(nx.articulation_points(G))
+    # full BCC: the edge partition into blocks must match NetworkX's
+    # biconnected_component_edges up to block relabeling (compare as
+    # sets of frozenset-of-edges)
+    rows = biconnected_edge_labels(g).collect()
+    got_blocks: dict[int, set] = {}
+    for r in rows:
+        got_blocks.setdefault(r["block"], set()).add((r["src"], r["dst"]))
+    exp_blocks = {
+        frozenset((min(u, v), max(u, v)) for u, v in comp)
+        for comp in nx.biconnected_component_edges(G)
+    }
+    assert {frozenset(b) for b in got_blocks.values()} == exp_blocks
 
 
 def test_msf_matches_kruskal_total_order(spark):

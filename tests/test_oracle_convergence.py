@@ -109,6 +109,10 @@ CASES = {
         lambda: E._cut_points_sql(14, 12, 10),
         lambda: E._cut_points_sql(15, 13, 11),
     ),
+    "bcc": (
+        lambda: E._bcc_sql(14, 12, 10),
+        lambda: E._bcc_sql(15, 13, 11),
+    ),
     "bfs_pred": (
         lambda: E._bfs_pred_sql(6), lambda: E._bfs_pred_sql(7)
     ),
