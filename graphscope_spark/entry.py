@@ -2599,6 +2599,75 @@ def _bcc_sql(wrounds: int = 8, depth: int = 6, arounds: int = 8) -> str:
     )
 
 
+def q_fluid(spark, sf_dir):
+    """Deterministic synchronous fluid communities on the co-order
+    graph (reference ``apps/flash/clustering/fluid-community.h``; see
+    ``operators/fluid.py`` for the determinization)."""
+    from graphscope_spark.operators.fluid import fluid_community
+
+    g = part_graph_undirected(spark, sf_dir)
+    return fluid_community(g, num_communities=10, rounds=20).select(
+        "id", "community"
+    )
+
+
+def _fluid_sql(rounds: int = 12, s: int = 10) -> str:
+    """Unrolled synchronous fluid rounds.  Density ``k/cnt`` is one
+    double division of two exact integers in both engines; argmax is
+    a lexicographic ``max({'d': d, 'nl': -lab})`` (max density, min
+    label on ties); a vertex switches only on a strict ``1e-10``
+    improvement over its current community's density, and never flips
+    back to its label of two rounds ago (period-2 damping — see
+    ``operators/fluid.py``)."""
+    seed_h = _H60.format("'f:' || id::VARCHAR")
+    parts = [
+        _G,
+        f"fse AS (SELECT id FROM verts ORDER BY {seed_h}, id LIMIT {s})",
+        "l0 AS (SELECT v.id, f.id AS lab, NULL::BIGINT AS plab"
+        " FROM verts v LEFT JOIN fse f ON f.id = v.id)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"cnt{r} AS (SELECT lab, count(*) AS c FROM l{r}\n"
+            f"        WHERE lab IS NOT NULL GROUP BY lab)"
+        )
+        parts.append(
+            f"kk{r} AS (SELECT x.id, x.lab, count(*) AS k FROM (\n"
+            f"          SELECT e.dst AS id, l.lab FROM sym e\n"
+            f"          JOIN l{r} l ON l.id = e.src"
+            f" WHERE l.lab IS NOT NULL\n"
+            f"          UNION ALL SELECT id, lab FROM l{r}"
+            f" WHERE lab IS NOT NULL) x GROUP BY x.id, x.lab)"
+        )
+        parts.append(
+            f"dd{r} AS (SELECT kk.id, kk.lab, kk.k::DOUBLE / c.c AS d\n"
+            f"        FROM kk{r} kk JOIN cnt{r} c ON c.lab = kk.lab)"
+        )
+        parts.append(
+            f"bb{r} AS (SELECT id, max({{'d': d, 'nl': -lab}}) AS m"
+            f" FROM dd{r} GROUP BY id)"
+        )
+        parts.append(
+            f"cd{r} AS (SELECT d.id, d.d FROM dd{r} d\n"
+            f"        JOIN l{r} l ON l.id = d.id AND l.lab = d.lab)"
+        )
+        parts.append(
+            f"l{r + 1} AS (SELECT l.id, CASE\n"
+            f"          WHEN b.id IS NULL THEN l.lab\n"
+            f"          WHEN (l.lab IS NULL OR (b.m).d > c.d + 1e-10)\n"
+            f"           AND (l.plab IS NULL OR -(b.m).nl <> l.plab)"
+            f" THEN -(b.m).nl\n"
+            f"          ELSE l.lab END AS lab,\n"
+            f"        l.lab AS plab\n"
+            f"        FROM l{r} l LEFT JOIN bb{r} b ON b.id = l.id\n"
+            f"        LEFT JOIN cd{r} c ON c.id = l.id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, coalesce(lab, -1) AS community FROM l{rounds}"
+    )
+
+
 def q_msf(spark, sf_dir):
     """Minimum spanning forest of the weighted co-order graph
     (reference ``apps/flash/measurement/msf.h``; lexicographic
@@ -3321,7 +3390,7 @@ _REGISTRY_ORDER = [
     "three_path", "tailed_tri", "diamond", "k_center",
     "is_simple_path", "path_sample", "simple_paths",
     "coloring", "onion_layers", "min_edge_cover", "tri_variants",
-    "ann_ivf",
+    "ann_ivf", "fluid",
     # changed in round 3
     "voterank", "edge_betweenness_sample",
     # remaining high-value graph queries (inside the 50-window)
@@ -3548,6 +3617,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "bridges": (q_bridges, _bridges_sql(14, 12)),
         "cut_points": (q_cut_points, _cut_points_sql(14, 12, 10)),
         "bcc": (q_bcc, _bcc_sql(14, 12, 10)),
+        "fluid": (q_fluid, _fluid_sql(20, 10)),
         "bfs_pred": (q_bfs_pred, _bfs_pred_sql(6)),
         "msf": (q_msf, _msf_sql(12, 6)),
         "core_numbers": (q_core_numbers, _core_numbers_sql(20)),

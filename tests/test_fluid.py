@@ -1,0 +1,90 @@
+"""Deterministic synchronous fluid communities vs a pure-Python
+replay of the identical update rule, plus a planted-partition sanity
+check."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphscope_spark.functions.text import h60_py
+from graphscope_spark.graph import Graph
+from graphscope_spark.operators.fluid import fluid_community
+
+
+def _graph(spark, edges, nodes, parts=4):
+    edf = spark.createDataFrame(sorted(edges), "src long, dst long")
+    vdf = spark.createDataFrame([(i,) for i in sorted(nodes)], "id long")
+    return Graph.from_edges(edf, directed=True, vertices=vdf,
+                            num_partitions=parts).undirected()
+
+
+def _py_fluid(nodes, edges, s, rounds):
+    """Reference replay: same seeds, same synchronous rule."""
+    adj = {v: set() for v in nodes}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    seeds = sorted(nodes, key=lambda v: (h60_py(f"f:{v}"), v))[:s]
+    lab = {v: (v if v in seeds else None) for v in nodes}
+    plab = {v: None for v in nodes}
+    for _ in range(rounds):
+        cnt: dict[int, int] = {}
+        for v in nodes:
+            if lab[v] is not None:
+                cnt[lab[v]] = cnt.get(lab[v], 0) + 1
+        new = {}
+        for v in nodes:
+            k: dict[int, int] = {}
+            if lab[v] is not None:
+                k[lab[v]] = 1
+            for u in adj[v]:
+                if lab[u] is not None:
+                    k[lab[u]] = k.get(lab[u], 0) + 1
+            if not k:
+                new[v] = lab[v]
+                continue
+            best = max(k, key=lambda l: (k[l] / cnt[l], -l))
+            bd = k[best] / cnt[best]
+            improves = (lab[v] is None
+                        or bd > k.get(lab[v], 0) / cnt[lab[v]] + 1e-10)
+            flip_back = plab[v] is not None and best == plab[v]
+            new[v] = best if improves and not flip_back else lab[v]
+        plab = dict(lab)
+        lab = new
+    return {v: (l if l is not None else -1) for v, l in lab.items()}
+
+
+def test_fluid_matches_python_replay(spark):
+    random.seed(31)
+    n = 80
+    edges = set()
+    while len(edges) < 200:
+        u, v = random.randrange(n), random.randrange(n)
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    g = _graph(spark, edges, range(n))
+    got = {r["id"]: r["community"]
+           for r in fluid_community(g, num_communities=6,
+                                    rounds=8).collect()}
+    assert got == _py_fluid(range(n), edges, 6, 8)
+
+
+def test_fluid_separates_planted_cliques(spark):
+    # two 10-cliques joined by one edge; 2 communities must split
+    # them (node ids 2..21: the two min-h60 seeds, 11 and 16, land
+    # one per clique)
+    edges = set()
+    for base in (2, 12):
+        for i in range(10):
+            for j in range(i + 1, 10):
+                edges.add((base + i, base + j))
+    edges.add((11, 12))
+    g = _graph(spark, edges, range(2, 22))
+    rows = fluid_community(g, num_communities=2, rounds=8).collect()
+    left = {r["community"] for r in rows if r["id"] < 12}
+    right = {r["community"] for r in rows if r["id"] >= 12}
+    assert len(left) == 1 and len(right) == 1 and left != right
+    assert -1 not in left | right

@@ -113,6 +113,9 @@ CASES = {
         lambda: E._bcc_sql(14, 12, 10),
         lambda: E._bcc_sql(15, 13, 11),
     ),
+    "fluid": (
+        lambda: E._fluid_sql(20, 10), lambda: E._fluid_sql(21, 10)
+    ),
     "bfs_pred": (
         lambda: E._bfs_pred_sql(6), lambda: E._bfs_pred_sql(7)
     ),
