@@ -440,6 +440,74 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+#: sources held out as the "evaluation benchmark" for the registered
+#: decontamination query — everything else is the training corpus.
+DECON_BENCH_SOURCES = ("src0", "src1")
+
+#: per-language keep-rates for the registered stratified sample:
+#: downsample the English majority, keep most of the rest.
+STRAT_RATES = {"en": 0.3, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 0.8}
+
+
+def q_decontaminate(spark, sf_dir):
+    from graphscope_spark.functions.curation import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source").isin(*DECON_BENCH_SOURCES))
+    train = docs.where(~F.col("source").isin(*DECON_BENCH_SOURCES))
+    return decontaminate(train, bench, n=3, min_ratio=0.2)
+
+
+def q_stratified_sample(spark, sf_dir):
+    from graphscope_spark.functions.curation import stratified_sample
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return stratified_sample(docs, "lang", STRAT_RATES)
+
+
+def _decontaminate_sql() -> str:
+    bset = ", ".join(f"'{s}'" for s in DECON_BENCH_SOURCES)
+    shingles = (
+        "unnest(list_distinct(CASE WHEN len(t) >= 3"
+        " THEN list_transform(range(1, len(t) - 1),"
+        " i -> array_to_string(t[i:i+2], ' '))"
+        " ELSE [] END)) AS shingle"
+    )
+    return f"""\
+WITH btoks AS (SELECT doc_id, {_TOKS} AS t FROM documents
+               WHERE source IN ({bset})),
+bsh AS (SELECT DISTINCT {shingles} FROM btoks),
+ttoks AS (SELECT doc_id, {_TOKS} AS t FROM documents
+          WHERE source NOT IN ({bset})),
+tsh AS (SELECT doc_id, {shingles} FROM ttoks),
+cnt AS (SELECT t.doc_id, count(*) AS total, count(b.shingle) AS matched,
+               floor(count(b.shingle) * 1000000.0 / count(*) + 0.5)::BIGINT
+                 AS r6
+        FROM tsh t LEFT JOIN bsh b ON b.shingle = t.shingle
+        GROUP BY t.doc_id)
+SELECT d.doc_id,
+       coalesce(c.matched, 0) AS matched,
+       coalesce(c.total, 0) AS total,
+       coalesce(c.r6 / 1000000.0, 0.0)::DOUBLE AS overlap_ratio,
+       coalesce(c.r6 >= 200000, false) AS contaminated
+FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
+WHERE d.source NOT IN ({bset})"""
+
+
+def _stratified_sample_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(round(v * 10000))}"
+        for k, v in sorted(STRAT_RATES.items())
+    )
+    bucket = _H60.format("'samp:' || doc_id")
+    return (
+        "SELECT doc_id, lang, source, n_chars FROM documents "
+        f"WHERE {bucket} % 10000 < CASE lang {cases} ELSE 0 END"
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     from graphscope_spark.functions.dedup import minhash_dedup_pairs
 
@@ -3390,7 +3458,7 @@ _REGISTRY_ORDER = [
     "three_path", "tailed_tri", "diamond", "k_center",
     "is_simple_path", "path_sample", "simple_paths",
     "coloring", "onion_layers", "min_edge_cover", "tri_variants",
-    "ann_ivf", "fluid",
+    "ann_ivf", "fluid", "decontaminate", "stratified_sample",
     # changed in round 3
     "voterank", "edge_betweenness_sample",
     # remaining high-value graph queries (inside the 50-window)
@@ -3600,6 +3668,10 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
             f"SELECT doc_id, {_H60.format(_NORM)} AS fp FROM documents",
         ),
         "ngram_jaccard": (q_ngram_jaccard, _ngram_jaccard_sql()),
+        "decontaminate": (q_decontaminate, _decontaminate_sql()),
+        "stratified_sample": (
+            q_stratified_sample, _stratified_sample_sql()
+        ),
         "minhash_lsh": (q_minhash_lsh, _minhash_lsh_sql()),
         "minhash_groups": (q_minhash_groups, _minhash_groups_sql(8)),
         "simhash": (q_simhash, _simhash_sql()),

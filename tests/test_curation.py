@@ -1,0 +1,90 @@
+"""Curation operators: benchmark decontamination + stratified sample."""
+import pytest
+from pyspark.sql import functions as F
+
+from graphscope_spark.functions.curation import (
+    decontaminate,
+    stratified_sample,
+    stratum_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # benchmark: two eval questions
+        (0, "the quick brown fox jumps over the lazy dog", "bench"),
+        (1, "colorless green ideas sleep furiously tonight", "bench"),
+        # train: verbatim leak of doc 0
+        (10, "the quick brown fox jumps over the lazy dog", "train"),
+        # train: partial leak (shares a 3-gram window)
+        (11, "the quick brown fox went home early today", "train"),
+        # train: clean
+        (12, "completely unrelated text about spark dataframes here", "train"),
+        # train: too short for any 3-gram
+        (13, "hi there", "train"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "split"])
+
+
+def test_decontaminate_flags_leaks(docs):
+    out = decontaminate(
+        docs.where(F.col("split") == "train"),
+        docs.where(F.col("split") == "bench"),
+        n=3,
+        min_ratio=0.2,
+    )
+    by_id = {r["doc_id"]: r for r in out.collect()}
+    assert set(by_id) == {10, 11, 12, 13}
+    # verbatim copy: every shingle matched
+    assert by_id[10]["matched"] == by_id[10]["total"] > 0
+    assert by_id[10]["contaminated"] and by_id[10]["overlap_ratio"] == 1.0
+    # partial leak: some but not all shingles matched, above threshold
+    assert 0 < by_id[11]["matched"] < by_id[11]["total"]
+    assert by_id[11]["contaminated"]
+    # clean and too-short docs are kept with zero / empty overlap
+    assert by_id[12]["matched"] == 0 and not by_id[12]["contaminated"]
+    assert by_id[13]["total"] == 0 and not by_id[13]["contaminated"]
+    assert by_id[13]["overlap_ratio"] == 0.0
+
+
+def test_decontaminate_broadcasts_benchmark(docs):
+    out = decontaminate(
+        docs.where(F.col("split") == "train"),
+        docs.where(F.col("split") == "bench"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
+def test_stratified_sample_deterministic_and_stable(spark):
+    rows = [(i, "en" if i % 3 else "de") for i in range(600)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    rates = {"en": 0.25, "de": 0.9}
+    a = sorted(r["doc_id"] for r in stratified_sample(df, "lang", rates).collect())
+    # identical membership after an arbitrary repartition (sampleBy
+    # would reshuffle here — this is the property under test)
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            df.repartition(7, "lang"), "lang", rates
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+    counts = {
+        r["stratum"]: r["n_docs"]
+        for r in stratum_counts(
+            stratified_sample(df, "lang", rates), "lang"
+        ).collect()
+    }
+    # 400 en @ .25 ≈ 100, 200 de @ .9 ≈ 180 — allow Bernoulli spread
+    assert 60 <= counts["en"] <= 140
+    assert 150 <= counts["de"] <= 200
+
+
+def test_stratified_sample_default_rate_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "xx")], ["doc_id", "lang"]
+    )
+    out = stratified_sample(df, "lang", {"en": 1.0})
+    assert [r["doc_id"] for r in out.collect()] == [1]
