@@ -508,6 +508,40 @@ def _stratified_sample_sql() -> str:
     )
 
 
+def q_repetition_stats(spark, sf_dir):
+    from graphscope_spark.functions.text import repetition_stats
+
+    return repetition_stats(load(spark, sf_dir, "documents"))
+
+
+def _repetition_stats_sql() -> str:
+    # the oracle finds the max-multiplicity bigram via explode +
+    # group-by (value-equal to the engine's per-row sorted-run scan)
+    return f"""\
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+cnt AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
+               len(list_distinct(t))::BIGINT AS n_distinct FROM toks),
+bg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)),
+                             i -> array_to_string(t[i:i+1], ' '))
+         ELSE [] END) AS b
+       FROM toks),
+top AS (SELECT doc_id, max(c) AS top_cnt FROM
+          (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b)
+        GROUP BY doc_id)
+SELECT c.doc_id, c.n_tokens, c.n_distinct,
+       (CASE WHEN c.n_tokens > 0
+             THEN floor(c.n_distinct * 1000000.0 / c.n_tokens + 0.5)
+                  / 1000000.0
+             ELSE 0.0 END)::DOUBLE AS distinct_ratio,
+       coalesce(t.top_cnt, 0) AS top_bigram_cnt,
+       (CASE WHEN c.n_tokens >= 2
+             THEN floor(coalesce(t.top_cnt, 0) * 1000000.0
+                        / (c.n_tokens - 1) + 0.5) / 1000000.0
+             ELSE 0.0 END)::DOUBLE AS top_bigram_frac
+FROM cnt c LEFT JOIN top t ON t.doc_id = c.doc_id"""
+
+
 def q_minhash_lsh(spark, sf_dir):
     from graphscope_spark.functions.dedup import minhash_dedup_pairs
 
@@ -3459,6 +3493,7 @@ _REGISTRY_ORDER = [
     "is_simple_path", "path_sample", "simple_paths",
     "coloring", "onion_layers", "min_edge_cover", "tri_variants",
     "ann_ivf", "fluid", "decontaminate", "stratified_sample",
+    "repetition_stats",
     # changed in round 3
     "voterank", "edge_betweenness_sample",
     # remaining high-value graph queries (inside the 50-window)
@@ -3669,6 +3704,9 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         ),
         "ngram_jaccard": (q_ngram_jaccard, _ngram_jaccard_sql()),
         "decontaminate": (q_decontaminate, _decontaminate_sql()),
+        "repetition_stats": (
+            q_repetition_stats, _repetition_stats_sql()
+        ),
         "stratified_sample": (
             q_stratified_sample, _stratified_sample_sql()
         ),

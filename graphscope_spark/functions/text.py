@@ -109,6 +109,70 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals: ``(id, n_tokens, n_distinct,
+    distinct_ratio, top_bigram_cnt, top_bigram_frac)``.
+
+    Deliberately a **pure projection** — the max-multiplicity bigram
+    is found per row by sorting the row's bigram array and scanning
+    for the longest equal-run with ``F.aggregate`` (O(b log b) inside
+    codegen), instead of the naive explode → groupBy(doc, bigram) →
+    max, which shuffles the entire exploded n-gram stream.  At 100 TB
+    that difference is the whole job: this version reads the text
+    column once and never exchanges a row.
+
+    Ratios use the integer floor-quantiser (×1e6) shared with
+    :mod:`.curation` so the DuckDB oracle is bit-identical.
+    """
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    bigrams = F.array_sort(
+        F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    top_cnt = F.aggregate(
+        bigrams,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    q6 = lambda num, den: F.when(  # noqa: E731
+        den > 0,
+        F.floor(num * 1000000.0 / den + F.lit(0.5)).cast("long") / 1000000.0,
+    ).otherwise(0.0)
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        q6(n_distinct, n_tok).alias("distinct_ratio"),
+        top_cnt.alias("top_bigram_cnt"),
+        q6(top_cnt, n_tok - 1).alias("top_bigram_frac"),
+    )
+
+
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Marker-word language ID: ``(id, lang_pred)``; 'und' when no
     marker hits.  Ties break to the alphabetically-first language

@@ -88,3 +88,38 @@ def test_stratified_sample_default_rate_zero(spark):
     )
     out = stratified_sample(df, "lang", {"en": 1.0})
     assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_repetition_stats_planted(spark):
+    from graphscope_spark.functions.text import repetition_stats
+
+    rows = [
+        (1, "a b a b a b a b"),            # "a b" bigram dominates
+        (2, "w x y z"),                    # all bigrams unique
+        (3, "solo"),                       # no bigram
+        (4, ""),                           # empty
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in repetition_stats(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    # doc 1: 8 tokens, 2 distinct, 7 bigrams = {a b:4, b a:3}
+    assert out[1]["n_tokens"] == 8 and out[1]["n_distinct"] == 2
+    assert out[1]["top_bigram_cnt"] == 4
+    assert out[1]["top_bigram_frac"] == pytest.approx(4 / 7, abs=1e-6)
+    assert out[2]["top_bigram_cnt"] == 1
+    assert out[3]["n_tokens"] == 1 and out[3]["top_bigram_cnt"] == 0
+    assert out[3]["top_bigram_frac"] == 0.0
+    assert out[4]["n_tokens"] == 0 and out[4]["distinct_ratio"] == 0.0
+
+
+def test_repetition_stats_no_shuffle(spark):
+    from graphscope_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame([(1, "a b c a b")], ["doc_id", "text"])
+    plan = (
+        repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
