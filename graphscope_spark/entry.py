@@ -542,6 +542,31 @@ SELECT c.doc_id, c.n_tokens, c.n_distinct,
 FROM cnt c LEFT JOIN top t ON t.doc_id = c.doc_id"""
 
 
+#: context-window size for the registered packing query — small enough
+#: that sf0.01's ~25k-token stream spans dozens of bins.
+PACK_WINDOW = 512
+
+
+def q_pack_sequences(spark, sf_dir):
+    from graphscope_spark.functions.curation import pack_sequences
+
+    return pack_sequences(
+        load(spark, sf_dir, "documents"), window=PACK_WINDOW
+    )
+
+
+def _pack_sequences_sql() -> str:
+    return f"""\
+WITH toks AS (SELECT doc_id, len({_TOKS})::BIGINT AS n FROM documents),
+c AS (SELECT doc_id, n,
+             (sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) - n)::BIGINT AS off
+      FROM toks)
+SELECT doc_id, n AS n_tokens, off AS token_offset,
+       (off // {PACK_WINDOW})::BIGINT AS bin_id
+FROM c"""
+
+
 def q_minhash_lsh(spark, sf_dir):
     from graphscope_spark.functions.dedup import minhash_dedup_pairs
 
@@ -3493,7 +3518,7 @@ _REGISTRY_ORDER = [
     "is_simple_path", "path_sample", "simple_paths",
     "coloring", "onion_layers", "min_edge_cover", "tri_variants",
     "ann_ivf", "fluid", "decontaminate", "stratified_sample",
-    "repetition_stats",
+    "repetition_stats", "pack_sequences",
     # changed in round 3
     "voterank", "edge_betweenness_sample",
     # remaining high-value graph queries (inside the 50-window)
@@ -3707,6 +3732,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "repetition_stats": (
             q_repetition_stats, _repetition_stats_sql()
         ),
+        "pack_sequences": (q_pack_sequences, _pack_sequences_sql()),
         "stratified_sample": (
             q_stratified_sample, _stratified_sample_sql()
         ),

@@ -124,6 +124,67 @@ def stratified_sample(
     return df.where(bucket < thr)
 
 
+def pack_sequences(
+    df: DataFrame,
+    window: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in ``id``
+    order and chunk the token stream into fixed ``window``-token
+    context slots.  Returns ``(doc_id, n_tokens, token_offset,
+    bin_id)`` where ``token_offset`` is the document's start in the
+    global stream and ``bin_id = token_offset div window`` (a document
+    belongs to the slot where it starts).
+
+    The global prefix-sum is the scale trap here: a bare
+    ``Window.orderBy(id)`` with no partition key collapses the whole
+    table into ONE task.  Instead this runs the classic two-phase
+    scan: range-partition by id, per-partition running sums
+    (``Window.partitionBy(pid)`` — distributed), then add each
+    partition's start offset, computed from the tiny per-partition
+    totals (one row per partition) broadcast back.  Total cost: one
+    range shuffle + one broadcast join, any number of executors.
+    """
+    from ..functions.text import tokens
+
+    n_tok = F.size(tokens(F.col(text_col))).cast("long")
+    parts = df.select(F.col(id_col), n_tok.alias("n_tokens"))
+    if num_partitions:
+        parts = parts.repartitionByRange(num_partitions, id_col)
+    else:
+        parts = parts.repartitionByRange(id_col)
+    # capture the physical partition id BEFORE any further exchange —
+    # spark_partition_id() is evaluated at runtime, so it must be
+    # materialized as data while the range partitioning is live
+    parts = parts.withColumn("pid", F.spark_partition_id())
+
+    from pyspark.sql import Window
+
+    within = Window.partitionBy("pid").orderBy(id_col)
+    parts = parts.withColumn(
+        "local_off",
+        F.sum("n_tokens").over(within) - F.col("n_tokens"),
+    )
+    # per-partition totals: |partitions| rows — broadcast-join scale
+    totals = parts.groupBy("pid").agg(F.sum("n_tokens").alias("ptot"))
+    pid_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.withColumn(
+        "poff", F.coalesce(F.sum("ptot").over(pid_off), F.lit(0))
+    ).select("pid", "poff")
+    out = parts.join(F.broadcast(offsets), "pid")
+    off = (F.col("poff") + F.col("local_off")).alias("token_offset")
+    return out.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        off,
+        F.expr(f"(poff + local_off) div {int(window)}").alias("bin_id"),
+    )
+
+
 def stratum_counts(
     df: DataFrame, stratum_col: str, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -123,3 +123,28 @@ def test_repetition_stats_no_shuffle(spark):
         repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_pack_sequences_matches_serial_cumsum(spark):
+    from graphscope_spark.functions.curation import pack_sequences
+
+    rows = [(i, " ".join(["tok"] * (3 + i % 7))) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, window=16, num_partitions=8).collect()
+    }
+    off = 0
+    for i in range(200):
+        n = 3 + i % 7
+        assert out[i]["n_tokens"] == n
+        assert out[i]["token_offset"] == off, i
+        assert out[i]["bin_id"] == off // 16
+        off += n
+    # identical result at a different parallelism (two-phase scan is
+    # partition-count invariant)
+    out3 = {
+        r["doc_id"]: r["token_offset"]
+        for r in pack_sequences(df, window=16, num_partitions=3).collect()
+    }
+    assert out3 == {k: v["token_offset"] for k, v in out.items()}
