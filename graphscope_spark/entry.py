@@ -567,6 +567,38 @@ SELECT doc_id, n AS n_tokens, off AS token_offset,
 FROM c"""
 
 
+def q_random_walks(spark, sf_dir):
+    from graphscope_spark.operators.walks import random_walks
+
+    return random_walks(
+        part_graph_undirected(spark, sf_dir), length=4, seed_mod=10
+    )
+
+
+def _random_walks_sql(length: int = 4, seed_mod: int = 10) -> str:
+    ctes = [
+        "adj AS (SELECT src, list(dst ORDER BY dst) AS nl,"
+        " count(*)::BIGINT AS deg FROM sym GROUP BY src)",
+        f"w0 AS (SELECT id AS walk_id, id AS v FROM verts"
+        f" WHERE id % {seed_mod} = 0)",
+    ]
+    selects = ["SELECT walk_id, 0 AS step, v FROM w0"]
+    for s in range(1, length + 1):
+        pick = _H60.format(
+            f"'walk:' || w.walk_id || ':{s}:' || w.v"
+        )
+        ctes.append(
+            f"w{s} AS (SELECT w.walk_id,"
+            f" list_extract(a.nl, ({pick} % a.deg + 1)::INT) AS v"
+            f" FROM w{s - 1} w JOIN adj a ON a.src = w.v)"
+        )
+        selects.append(f"SELECT walk_id, {s} AS step, v FROM w{s}")
+    return (
+        "WITH " + _G + ",\n" + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL ".join(selects)
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     from graphscope_spark.functions.dedup import minhash_dedup_pairs
 
@@ -3518,7 +3550,7 @@ _REGISTRY_ORDER = [
     "is_simple_path", "path_sample", "simple_paths",
     "coloring", "onion_layers", "min_edge_cover", "tri_variants",
     "ann_ivf", "fluid", "decontaminate", "stratified_sample",
-    "repetition_stats", "pack_sequences",
+    "repetition_stats", "pack_sequences", "random_walks",
     # changed in round 3
     "voterank", "edge_betweenness_sample",
     # remaining high-value graph queries (inside the 50-window)
@@ -3733,6 +3765,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
             q_repetition_stats, _repetition_stats_sql()
         ),
         "pack_sequences": (q_pack_sequences, _pack_sequences_sql()),
+        "random_walks": (q_random_walks, _random_walks_sql()),
         "stratified_sample": (
             q_stratified_sample, _stratified_sample_sql()
         ),

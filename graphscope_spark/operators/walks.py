@@ -1,0 +1,77 @@
+"""Deterministic random walks — the DataFrame analog of the
+reference learning engine's neighbor-sampling walks (GraphScope GLE
+``graphlearn/core/operator/sampler`` random walk; also the sampling
+primitive under node2vec/DeepWalk embeddings).
+
+A walk step is one co-partitioned join of the frontier against the
+cached CSR adjacency — identical shuffle shape to a PageRank
+superstep, so the same scale properties hold (hub salting, AQE off,
+one live Exchange).  The "randomness" is the engine-portable h60 hash
+of ``(walk_id, step, current vertex)``, which makes every walk
+byte-reproducible across runs, partitionings, and engines — the same
+determinism-over-RNG tradeoff as :func:`...functions.curation.
+stratified_sample`, and what lets the walk family be oracle-checked
+exactly in SQL.
+
+Dead ends (vertices with no out-neighbor) terminate the walk early;
+walks on an undirected graph never dead-end.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import h60
+from ..graph import Graph
+from ..plans.adaptive import superstep_conf
+
+
+def random_walks(
+    g: Graph,
+    length: int = 4,
+    seed_mod: int = 10,
+    salt: str = "walk",
+) -> DataFrame:
+    """Length-``length`` deterministic walks from every vertex with
+    ``id % seed_mod == 0``; returns ``(walk_id, step, v)`` including
+    step 0 (the seed itself).
+
+    Step rule: from vertex ``v`` at step ``s`` in walk ``w``, move to
+    ``nbrs(v)[h60(w:s:v) % degree(v)]`` over the sorted neighbor
+    list — a pure function of (walk, step, position), so the result
+    is independent of partitioning and execution order.
+    """
+    adj = g.adjacency(direction="out", sort_lists=True)
+    seeds = g.vertices.where(F.col("id") % seed_mod == 0).select(
+        F.col("id").alias("walk_id"),
+        F.lit(0).alias("step"),
+        F.col("id").alias("v"),
+    )
+    levels = [seeds]
+    cur = seeds
+    with superstep_conf(g.vertices.sparkSession, False):
+        for s in range(1, length + 1):
+            pick = h60(
+                F.concat_ws(
+                    ":",
+                    F.lit(salt),
+                    F.col("walk_id").cast("string"),
+                    F.lit(str(s)),
+                    F.col("v").cast("string"),
+                )
+            )
+            cur = (
+                cur.join(adj, cur["v"] == adj["src"])
+                .select(
+                    "walk_id",
+                    F.lit(s).alias("step"),
+                    F.element_at(
+                        "dst_list",
+                        (pick % F.col("degree") + 1).cast("int"),
+                    ).alias("v"),
+                )
+            )
+            levels.append(cur)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out

@@ -1,0 +1,49 @@
+"""Deterministic random walks."""
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import Graph
+from graphscope_spark.operators.walks import random_walks
+
+
+def _graph(spark, num_partitions=None):
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (10, 11), (11, 12)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return Graph.from_edges(df, directed=True).undirected()
+
+
+def test_walks_are_valid_and_deterministic(spark):
+    g = _graph(spark)
+    out = random_walks(g, length=3, seed_mod=10)
+    rows = sorted(
+        ((r["walk_id"], r["step"], r["v"]) for r in out.collect())
+    )
+    # seeds: 0 and 10, each walked 3 steps on a connected component —
+    # no dead ends on an undirected graph, so 2 * 4 rows
+    assert len(rows) == 8
+    assert {r[0] for r in rows} == {0, 10}
+    # every step moves along an edge
+    sym = {(a, b) for a, b in
+           [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (10, 11), (11, 12)]}
+    sym |= {(b, a) for a, b in sym}
+    by_walk = {}
+    for wid, step, v in rows:
+        by_walk.setdefault(wid, {})[step] = v
+    for wid, path in by_walk.items():
+        assert path[0] == wid
+        for s in range(1, 4):
+            assert (path[s - 1], path[s]) in sym, (wid, s, path)
+    # identical output again (pure function of the graph)
+    rows2 = sorted(
+        ((r["walk_id"], r["step"], r["v"])
+         for r in random_walks(g, length=3, seed_mod=10).collect())
+    )
+    assert rows == rows2
+
+
+def test_walks_dead_end_truncates(spark):
+    # directed path 0 -> 1 -> 2: walk from 0 stops at the sink
+    df = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+    g = Graph.from_edges(df, directed=True)
+    out = random_walks(g, length=5, seed_mod=10)
+    rows = sorted((r["step"], r["v"]) for r in out.collect())
+    assert rows == [(0, 0), (1, 1), (2, 2)]
