@@ -106,6 +106,30 @@ def main() -> None:
           "CartesianProduct" not in p
           and "BroadcastNestedLoopJoin" not in p, "")
 
+    # 6. round-3 curation plans
+    #    repetition_stats must stay a pure projection (zero Exchange):
+    #    the naive formulation shuffles the exploded bigram stream
+    from graphscope_spark.entry import (
+        q_decontaminate,
+        q_pack_sequences,
+        q_repetition_stats,
+    )
+    p = plan_of(q_repetition_stats(spark, sf_dir))
+    check("repetition: zero-shuffle projection",
+          "Exchange" not in p, "")
+    #    decontamination must broadcast the benchmark shingle set —
+    #    the training side is the 100 TB side and must not shuffle
+    #    for the semi-join
+    p = plan_of(q_decontaminate(spark, sf_dir))
+    check("decontaminate: benchmark side broadcast",
+          "BroadcastHashJoin" in p, "")
+    #    packing's prefix sum must not collapse the corpus into one
+    #    task: the only unpartitioned Window may run over the tiny
+    #    per-partition totals (partitionBy pid covers the data path)
+    p = plan_of(q_pack_sequences(spark, sf_dir))
+    check("packing: corpus window partitioned by pid",
+          "windowspecdefinition(pid" in p, "")
+
     spark.stop()
     fails = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(fails)}/{len(CHECKS)} checks passed")
