@@ -567,6 +567,50 @@ SELECT doc_id, n AS n_tokens, off AS token_offset,
 FROM c"""
 
 
+def q_sample_neighbors(spark, sf_dir):
+    from graphscope_spark.operators.walks import sample_neighbors
+
+    return sample_neighbors(
+        part_graph_undirected(spark, sf_dir), k=3, strategy="hash"
+    )
+
+
+def _sample_neighbors_sql(k: int = 3) -> str:
+    h = _H60.format("'nbr:' || src || ':' || dst")
+    return (
+        "WITH " + _G + ",\n"
+        f"h AS (SELECT src, dst, {h} AS hh FROM sym),\n"
+        "r AS (SELECT src, dst, row_number() OVER"
+        " (PARTITION BY src ORDER BY hh, dst) AS rn FROM h)\n"
+        f"SELECT src, dst AS nbr FROM r WHERE rn <= {k}"
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    from graphscope_spark.functions.text import pii_scrub
+
+    return pii_scrub(load(spark, sf_dir, "documents"))
+
+
+def _pii_scrub_sql() -> str:
+    from graphscope_spark.functions.text import PII_PATTERNS
+
+    clean = "text"
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        # DuckDB regexp_replace is first-match unless 'g'; Spark
+        # replaces all occurrences by default — mirror with the flag
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+        counts.append(
+            f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"
+        )
+    return (
+        f"SELECT doc_id, {clean} AS text_clean, "
+        + ", ".join(counts)
+        + " FROM documents"
+    )
+
+
 def q_random_walks(spark, sf_dir):
     from graphscope_spark.operators.walks import random_walks
 
@@ -3550,7 +3594,8 @@ _REGISTRY_ORDER = [
     "is_simple_path", "path_sample", "simple_paths",
     "coloring", "onion_layers", "min_edge_cover", "tri_variants",
     "ann_ivf", "fluid", "decontaminate", "stratified_sample",
-    "repetition_stats", "pack_sequences", "random_walks",
+    "repetition_stats", "pack_sequences", "random_walks", "pii_scrub",
+    "sample_neighbors",
     # changed in round 3
     "voterank", "edge_betweenness_sample",
     # remaining high-value graph queries (inside the 50-window)
@@ -3766,6 +3811,10 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         ),
         "pack_sequences": (q_pack_sequences, _pack_sequences_sql()),
         "random_walks": (q_random_walks, _random_walks_sql()),
+        "pii_scrub": (q_pii_scrub, _pii_scrub_sql()),
+        "sample_neighbors": (
+            q_sample_neighbors, _sample_neighbors_sql()
+        ),
         "stratified_sample": (
             q_stratified_sample, _stratified_sample_sql()
         ),

@@ -109,6 +109,40 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
+#: PII patterns chosen to parse identically under Java regex (Spark)
+#: and RE2 (DuckDB): character classes + bounded repetition + \b only.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{7,15}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails / IPv4s / international phone numbers:
+    ``(id, text_clean, n_email, n_ip, n_phone)``.
+
+    Pure per-row projection (zero shuffle).  Patterns are applied in
+    the fixed :data:`PII_PATTERNS` order in every engine, so the
+    output is reproducible and exactly SQL-oracle-able.  A production
+    pipeline swaps in stricter patterns; the operator shape (scan →
+    regexp_count + chained regexp_replace) is what matters at scale.
+    """
+    c = F.col(text_col)
+    counts = [
+        F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    clean = c
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.select(
+        F.col(id_col), clean.alias("text_clean"), *counts
+    )
+
+
 def repetition_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

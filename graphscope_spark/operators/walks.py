@@ -25,6 +25,54 @@ from ..graph import Graph
 from ..plans.adaptive import superstep_conf
 
 
+def sample_neighbors(
+    g: Graph,
+    k: int = 3,
+    strategy: str = "hash",
+    salt: str = "nbr",
+) -> DataFrame:
+    """Per-vertex k-neighbor sample — the GLE ``sample(k).by(...)``
+    primitive: ``(src, nbr)`` with at most ``k`` rows per vertex.
+
+    ``strategy='topk'`` keeps the k smallest neighbor ids (GLE's
+    deterministic topk sampler); ``'hash'`` keeps the k neighbors
+    with the smallest ``h60(salt:src:dst)`` — an unbiased-looking but
+    fully reproducible choice.  Both run as one projection over the
+    cached CSR row (sort a ≤degree-length array, slice k) — no
+    shuffle beyond the adjacency build, no per-row Python.
+    """
+    adj = g.adjacency(direction="out", sort_lists=True)
+    if strategy == "topk":
+        picked = F.slice("dst_list", 1, k)
+    elif strategy == "hash":
+        key = lambda d: h60(  # noqa: E731
+            F.concat_ws(
+                ":",
+                F.lit(salt),
+                F.col("src").cast("string"),
+                d.cast("string"),
+            )
+        )
+        picked = F.transform(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        "dst_list",
+                        lambda d: F.struct(
+                            key(d).alias("h"), d.alias("dst")
+                        ),
+                    )
+                ),
+                1,
+                k,
+            ),
+            lambda s: s["dst"],
+        )
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    return adj.select("src", F.explode(picked).alias("nbr"))
+
+
 def random_walks(
     g: Graph,
     length: int = 4,

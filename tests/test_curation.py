@@ -148,3 +148,40 @@ def test_pack_sequences_matches_serial_cumsum(spark):
         for r in pack_sequences(df, window=16, num_partitions=3).collect()
     }
     assert out3 == {k: v["token_offset"] for k, v in out.items()}
+
+
+def test_pii_scrub_planted_cross_engine(spark):
+    from graphscope_spark.functions.text import pii_scrub
+    from graphscope_spark.entry import _pii_scrub_sql
+    import duckdb
+
+    rows = [
+        (1, "contact me at alice.smith+work@example.co.uk please"),
+        (2, "server at 10.0.255.3 and backup 192.168.1.17 are up"),
+        (3, "call +4915123456789 or write bob@test.io from 8.8.8.8"),
+        (4, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert got[1]["n_email"] == 1 and "<EMAIL>" in got[1]["text_clean"]
+    assert "alice" not in got[1]["text_clean"]
+    assert got[2]["n_ip"] == 2 and got[2]["text_clean"].count("<IP>") == 2
+    assert got[3]["n_phone"] == 1 and got[3]["n_email"] == 1
+    assert got[3]["n_ip"] == 1
+    assert got[4]["text_clean"] == rows[3][1]
+    # the DuckDB oracle agrees on planted PII (the parquet corpus has
+    # none, so the registered compare alone wouldn't exercise this)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, '{t}')" for i, t in rows
+        )
+        + ") AS t(doc_id, text)"
+    )
+    oracle = {r[0]: r for r in con.execute(_pii_scrub_sql()).fetchall()}
+    for i in got:
+        assert oracle[i][1] == got[i]["text_clean"], i
+        assert oracle[i][2:] == (
+            got[i]["n_email"], got[i]["n_ip"], got[i]["n_phone"]
+        ), i

@@ -47,3 +47,39 @@ def test_walks_dead_end_truncates(spark):
     out = random_walks(g, length=5, seed_mod=10)
     rows = sorted((r["step"], r["v"]) for r in out.collect())
     assert rows == [(0, 0), (1, 1), (2, 2)]
+
+
+def test_sample_neighbors_bounds_and_determinism(spark):
+    g = _graph(spark)
+    out = [
+        (r["src"], r["nbr"])
+        for r in __import__("graphscope_spark.operators.walks",
+                            fromlist=["sample_neighbors"])
+        .sample_neighbors(g, k=2, strategy="hash").collect()
+    ]
+    sym = {(a, b) for a, b in
+           [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (10, 11), (11, 12)]}
+    sym |= {(b, a) for a, b in sym}
+    assert set(out) <= sym
+    from collections import Counter
+    per_src = Counter(s for s, _ in out)
+    assert max(per_src.values()) <= 2
+    # vertex 11 has degree 2 -> both kept; vertex 3 degree 2 -> both
+    assert per_src[11] == 2
+    out2 = [
+        (r["src"], r["nbr"])
+        for r in __import__("graphscope_spark.operators.walks",
+                            fromlist=["sample_neighbors"])
+        .sample_neighbors(g, k=2, strategy="hash").collect()
+    ]
+    assert sorted(out) == sorted(out2)
+
+
+def test_sample_neighbors_topk(spark):
+    g = _graph(spark)
+    from graphscope_spark.operators.walks import sample_neighbors
+
+    out = {(r["src"], r["nbr"])
+           for r in sample_neighbors(g, k=1, strategy="topk").collect()}
+    # topk keeps the smallest neighbor id
+    assert (0, 1) in out and (2, 0) in out and (11, 10) in out
