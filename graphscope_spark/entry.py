@@ -2501,6 +2501,25 @@ def _bfs_pred_sql(rounds: int = 6) -> str:
     )
 
 
+def q_bfs_succ(spark, sf_dir):
+    """Successor (parent→child) rows of the same BFS tree —
+    ``bfs_generic.h`` ``output_format="successors"`` parity."""
+    from graphscope_spark.operators.traversal import bfs_tree
+
+    g = part_graph(spark, sf_dir)
+    source = g.vertices.agg(F.min("id")).collect()[0][0]
+    return bfs_tree(g, int(source), "successors", symmetrize=True)
+
+
+def _bfs_succ_sql(rounds: int = 6) -> str:
+    # identical tree to bfs_pred, pivoted to (src=parent, dst=child)
+    pred = _bfs_pred_sql(rounds)
+    return (
+        f"WITH t AS ({pred})\n"
+        "SELECT pred AS src, id AS dst FROM t"
+    )
+
+
 def _forest_sql_parts(wrounds: int, depth: int) -> list[str]:
     """Shared oracle prelude: BFS forest over the undirected co-order
     graph — ``comp`` (min-label wcc, ``wrounds`` unroll), roots,
@@ -3581,14 +3600,17 @@ def q_rel_union_intersect(spark, sf_dir):
 #: already carry two rounds of green driver rows (the rel_* GIE demos
 #: and fixed-round centralities).
 _REGISTRY_ORDER = [
-    # flagships
-    "pagerank", "wcc", "cdlp", "triangles", "tri_count", "bfs", "sssp",
+    # flagships (tri_count and bfs — both two-rounds driver-green —
+    # rotate to the tail so every never-verified / round-3-changed
+    # entry fits the driver's 50-query window)
+    "pagerank", "wcc", "cdlp", "triangles", "sssp",
     # LLM-pipeline + tail entries the driver never reached in round 2
     "dedup_exact", "minhash_groups", "ngram_jaccard", "embedding_near_dup",
     "minhash_lsh", "simhash", "embedding_topk", "text_stats", "lang_id",
     "doc_fingerprint", "khop2", "rel_semijoin",
     # new in round 3
     "bridges", "cut_points", "bcc", "msf", "core_numbers", "bfs_pred",
+    "bfs_succ",
     "k5_count", "min_cover", "min_dominating",
     "three_path", "tailed_tri", "diamond", "k_center",
     "is_simple_path", "path_sample", "simple_paths",
@@ -3605,6 +3627,7 @@ _REGISTRY_ORDER = [
     "clustering_directed", "apsp_sample", "sssp_path", "sssp_has_path",
     "sssp_avg_length", "lpa_u2i", "rect_count",
     # ---- position 51+: stable two-round-green entries ----
+    "tri_count", "bfs",
     "tri_census", "k4_count", "core_numbers_k3", "eigenvector10",
     "katz10", "hits", "degree_centrality", "avg_degree_connectivity",
     "avg_clustering", "transitivity", "assortativity", "boundary",
@@ -3837,6 +3860,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "bcc": (q_bcc, _bcc_sql(14, 12, 10)),
         "fluid": (q_fluid, _fluid_sql(20, 10)),
         "bfs_pred": (q_bfs_pred, _bfs_pred_sql(6)),
+        "bfs_succ": (q_bfs_succ, _bfs_succ_sql(6)),
         "msf": (q_msf, _msf_sql(12, 6)),
         "core_numbers": (q_core_numbers, _core_numbers_sql(20)),
         "min_cover": (q_min_cover, _min_cover_sql(14)),
