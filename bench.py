@@ -148,6 +148,32 @@ def main() -> None:
     ).count()
     timings["minhash_lsh"] = time.time() - t0
 
+    # -- round-3 curation family: decontamination (broadcast shingle
+    # semi-join), zero-shuffle repetition scan, two-phase packing
+    from graphscope_spark.functions.curation import (
+        decontaminate,
+        pack_sequences,
+    )
+    from graphscope_spark.functions.text import repetition_stats
+
+    t0 = time.time()
+    bench_docs = docs.where(F.col("source").isin("src0", "src1"))
+    train_docs = docs.where(~F.col("source").isin("src0", "src1"))
+    n_contam = (
+        decontaminate(train_docs, bench_docs, n=3, min_ratio=0.2)
+        .where("contaminated").count()
+    )
+    timings["decontaminate"] = time.time() - t0
+    t0 = time.time()
+    repetition_stats(docs).agg(F.sum("top_bigram_cnt")).collect()
+    timings["repetition_stats"] = time.time() - t0
+    t0 = time.time()
+    n_bins = (
+        pack_sequences(docs, window=2048)
+        .agg(F.countDistinct("bin_id")).first()[0]
+    )
+    timings["pack_sequences"] = time.time() - t0
+
     out = {
         "metric": "flagship graph apps wall time (co-order part graph)",
         "value": round(sum(timings.values()), 3),
@@ -161,7 +187,8 @@ def main() -> None:
         "pagerank_runs": [round(x, 3) for x in pr_runs],
         "spreads": spreads,
         "pagerank_supersteps_to_1e6": conv_stats.get("rounds"),
-        "documents": {"rows": n_docs, "minhash_dup_pairs": n_dups},
+        "documents": {"rows": n_docs, "minhash_dup_pairs": n_dups,
+                      "contaminated": n_contam, "packed_bins": n_bins},
         "mined_graph": {
             "edges": n_mined_edges,
             "supersteps_to_1e6": mined_stats.get("rounds"),
