@@ -63,6 +63,35 @@ def windowed_event_stats(
     )
 
 
+def streaming_dedup(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup at ingest: keep the first arrival of each
+    normalized-content sha256, drop later copies.
+
+    Idiomatic Structured Streaming: ``withWatermark`` +
+    ``dropDuplicatesWithinWatermark`` on the content hash, so the
+    dedup state store is bounded by the watermark horizon instead of
+    growing with the full corpus — at 100 TB/day ingest the unbounded
+    variant (plain ``dropDuplicates``) would accrete state forever.
+    Exactly the streaming face of :func:`...functions.dedup.
+    exact_dedup_groups` (same sha256-of-normalized-text key, so batch
+    backfill and streaming ingest agree on identity).
+    """
+    from ..functions.text import norm_text
+
+    return (
+        docs.withColumn(
+            "content_sha", F.sha2(norm_text(F.col(text_col)), 256)
+        )
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_sha"])
+    )
+
+
 def degree_threshold_alerts(
     edge_stream: DataFrame, threshold: int = 100
 ) -> DataFrame:

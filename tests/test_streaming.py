@@ -109,3 +109,35 @@ def test_degree_threshold_alerts_fire_once(spark, tmp_path):
     # exactly ONE alert, for src 1, at the degree where it crossed
     assert len(rows) == 1
     assert rows[0]["id"] == 1 and rows[0]["degree"] >= 3
+
+
+def test_streaming_dedup_drops_replayed_docs(spark, tmp_path):
+    import datetime as dt
+    from graphscope_spark.streaming.edge_stream import streaming_dedup
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "docs_in")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+    ])
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, "alpha beta gamma"),
+        (2, base, "Alpha  beta GAMMA"),      # normalizes to doc 1's text
+        (3, base, "something else entirely"),
+        (4, base, "alpha beta gamma"),       # exact replay
+    ]
+    (spark.createDataFrame(rows, schema)
+     .coalesce(1).write.mode("overwrite").parquet(src))
+    stream = (spark.readStream.schema(schema).format("parquet").load(src))
+    q = (streaming_dedup(stream)
+         .writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql("SELECT doc_id FROM dedup_out").collect()
+    kept = sorted(r["doc_id"] for r in out)
+    # exactly one survivor per distinct normalized content
+    assert len(kept) == 2
+    assert kept[1] == 3 and kept[0] in (1, 2, 4)
