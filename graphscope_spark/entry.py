@@ -2242,6 +2242,23 @@ def q_onion(spark, sf_dir):
     )
 
 
+def q_degeneracy(spark, sf_dir):
+    """Deterministic degeneracy ordering (reference
+    ``apps/flash/core/degeneracy-ordering.h``; layer-relaxed, id
+    tie-break) on the min2 backbone."""
+    from graphscope_spark.operators.clustering import degeneracy_ordering
+
+    return degeneracy_ordering(part_graph_min2(spark, sf_dir))
+
+
+def _degeneracy_sql() -> str:
+    return (
+        f"WITH o AS ({_onion_sql(24, 28)})\n"
+        "SELECT id, (row_number() OVER (ORDER BY layer, id) - 1)::BIGINT"
+        " AS pos FROM o"
+    )
+
+
 def _onion_sql(core_rounds: int = 14, layer_rounds: int = 14) -> str:
     """Phase A: h-index core fixpoint (unrolled); phase B: per round,
     rank unranked vertices with same-or-higher-core degree ≤ core,
@@ -3614,7 +3631,8 @@ _REGISTRY_ORDER = [
     "k5_count", "min_cover", "min_dominating",
     "three_path", "tailed_tri", "diamond", "k_center",
     "is_simple_path", "path_sample", "simple_paths",
-    "coloring", "onion_layers", "min_edge_cover", "tri_variants",
+    "coloring", "onion_layers", "degeneracy", "min_edge_cover",
+    "tri_variants",
     "ann_ivf", "fluid", "decontaminate", "stratified_sample",
     "repetition_stats", "pack_sequences", "random_walks", "pii_scrub",
     "sample_neighbors",
@@ -3874,6 +3892,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "simple_paths": (q_simple_paths, _simple_paths_sql(3)),
         "coloring": (q_coloring, _coloring_sql(20)),
         "onion_layers": (q_onion, _onion_sql(24, 28)),
+        "degeneracy": (q_degeneracy, _degeneracy_sql()),
         "min_edge_cover": (q_min_edge_cover, _min_edge_cover_sql(12)),
         "tri_variants": (q_tri_variants, _TRI_VARIANTS_SQL),
         "ann_ivf": (q_ann_ivf, _ann_ivf_sql(10, 8, 2)),

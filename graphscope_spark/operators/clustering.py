@@ -481,3 +481,35 @@ def onion_layers(graph: Graph, max_iter: int = 10_000) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     trunc.close()
     return out
+
+
+def degeneracy_ordering(graph: Graph) -> DataFrame:
+    """``(id, pos)`` — a degeneracy ordering (reference
+    ``apps/flash/core/degeneracy-ordering.h``): the reference peels
+    THE minimum-degree vertex one at a time, an inherently sequential
+    order; the standard parallel relaxation peels whole onion layers
+    and orders within a layer by vertex id.  Any layer-consistent
+    order is a valid degeneracy ordering (every vertex has at most
+    ``core(v) ≤ degeneracy`` neighbors later in the order), and the
+    id tie-break makes this one deterministic.
+
+    The global position is the two-phase prefix-sum pattern: a
+    distributed ``row_number`` within each layer plus per-layer start
+    offsets computed from the tiny layer-count table (|layers| rows,
+    broadcast back) — never a single-partition global sort.
+    """
+    from pyspark.sql import Window
+
+    lay = onion_layers(graph)
+    within = Window.partitionBy("layer").orderBy("id")
+    ranked = lay.withColumn("r", F.row_number().over(within) - 1)
+    counts = lay.groupBy("layer").agg(F.count("*").alias("n"))
+    off_w = Window.orderBy("layer").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = counts.withColumn(
+        "off", F.coalesce(F.sum("n").over(off_w), F.lit(0))
+    ).select("layer", "off")
+    return ranked.join(F.broadcast(offs), "layer").select(
+        "id", (F.col("off") + F.col("r")).cast("long").alias("pos")
+    )

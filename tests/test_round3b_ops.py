@@ -180,3 +180,24 @@ def test_ivf_full_probe_equals_exact(spark):
         per_q.setdefault(r["query_id"], []).append(r["cos"])
     for vals in per_q.values():
         assert vals == sorted(vals, reverse=True)
+
+
+def test_degeneracy_ordering_is_valid(spark):
+    from graphscope_spark.graph import Graph
+    from graphscope_spark.operators.clustering import degeneracy_ordering
+
+    # triangle + pendant chain: degeneracy 2
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    g = Graph.from_edges(
+        spark.createDataFrame(edges, ["src", "dst"]), directed=True
+    ).undirected()
+    pos = {r["id"]: r["pos"] for r in degeneracy_ordering(g).collect()}
+    assert sorted(pos.values()) == list(range(5))
+    sym = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+    # validity: every vertex has at most 2 (the degeneracy) neighbors
+    # LATER in the order
+    for v in pos:
+        later = sum(
+            1 for (a, b) in sym if a == v and pos[b] > pos[v]
+        )
+        assert later <= 2, (v, later)
