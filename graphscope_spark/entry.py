@@ -2242,6 +2242,57 @@ def q_onion(spark, sf_dir):
     )
 
 
+def q_louvain(spark, sf_dir):
+    """Deterministic synchronous Louvain phase-1 (fixed 4 rounds,
+    checkerboard guard) on the min2 backbone."""
+    from graphscope_spark.operators.louvain import louvain_one_level
+
+    return louvain_one_level(part_graph_min2(spark, sf_dir), rounds=4)
+
+
+def _louvain_sql(rounds: int = 4) -> str:
+    parts = [
+        _G2,
+        "tm AS (SELECT count(*)::BIGINT AS m2 FROM sym)",
+        "deg AS (SELECT src AS id, count(*)::BIGINT AS k"
+        " FROM sym GROUP BY src)",
+        "s0 AS (SELECT v.id, v.id AS comm, coalesce(d.k, 0)::BIGINT AS k"
+        " FROM verts v LEFT JOIN deg d ON d.id = v.id)",
+    ]
+    for r in range(rounds):
+        parts += [
+            f"sig{r} AS (SELECT comm, sum(k)::BIGINT AS sig"
+            f" FROM s{r} GROUP BY comm)",
+            f"cand{r} AS (SELECT id, c, sum(cnt)::BIGINT AS cnt FROM (\n"
+            f"  SELECT e.src AS id, s2.comm AS c, count(*)::BIGINT AS cnt\n"
+            f"  FROM sym e JOIN s{r} s2 ON s2.id = e.dst"
+            f" GROUP BY e.src, s2.comm\n"
+            f"  UNION ALL SELECT id, comm AS c, 0 FROM s{r}"
+            f") GROUP BY id, c)",
+            # identical float expression shape to the engine:
+            # cnt - (k * sig_excl) / two_m, int64 product then one
+            # double division — bit-equal across engines
+            f"sc{r} AS (SELECT cd.id, cd.c,\n"
+            f"  cd.cnt - (s.k * (g.sig - CASE WHEN cd.c = s.comm"
+            f" THEN s.k ELSE 0 END)) / (SELECT m2 FROM tm) AS score\n"
+            f"  FROM cand{r} cd JOIN sig{r} g ON g.comm = cd.c\n"
+            f"  JOIN s{r} s ON s.id = cd.id)",
+            f"best{r} AS (SELECT id, max(ROW(score, -c)) AS m"
+            f" FROM sc{r} GROUP BY id)",
+            f"pick{r} AS (SELECT b.id, sc.c FROM best{r} b"
+            f" JOIN sc{r} sc ON sc.id = b.id"
+            f" AND ROW(sc.score, -sc.c) = b.m)",
+            f"s{r + 1} AS (SELECT s.id,"
+            f" CASE WHEN p.c {'>' if r % 2 == 0 else '<'} s.comm"
+            f" THEN p.c ELSE s.comm END"
+            f" AS comm, s.k FROM s{r} s JOIN pick{r} p ON p.id = s.id)",
+        ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, comm AS community FROM s{rounds}"
+    )
+
+
 def q_degeneracy(spark, sf_dir):
     """Deterministic degeneracy ordering (reference
     ``apps/flash/core/degeneracy-ordering.h``; layer-relaxed, id
@@ -3617,10 +3668,10 @@ def q_rel_union_intersect(spark, sf_dir):
 #: already carry two rounds of green driver rows (the rel_* GIE demos
 #: and fixed-round centralities).
 _REGISTRY_ORDER = [
-    # flagships (tri_count and bfs — both two-rounds driver-green —
+    # flagships (tri_count, bfs, sssp — all two-rounds driver-green —
     # rotate to the tail so every never-verified / round-3-changed
     # entry fits the driver's 50-query window)
-    "pagerank", "wcc", "cdlp", "triangles", "sssp",
+    "pagerank", "wcc", "cdlp", "triangles",
     # LLM-pipeline + tail entries the driver never reached in round 2
     "dedup_exact", "minhash_groups", "ngram_jaccard", "embedding_near_dup",
     "minhash_lsh", "simhash", "embedding_topk", "text_stats", "lang_id",
@@ -3633,7 +3684,7 @@ _REGISTRY_ORDER = [
     "is_simple_path", "path_sample", "simple_paths",
     "coloring", "onion_layers", "degeneracy", "min_edge_cover",
     "tri_variants",
-    "ann_ivf", "fluid", "decontaminate", "stratified_sample",
+    "ann_ivf", "fluid", "louvain", "decontaminate", "stratified_sample",
     "repetition_stats", "pack_sequences", "random_walks", "pii_scrub",
     "sample_neighbors",
     # changed in round 3
@@ -3645,7 +3696,7 @@ _REGISTRY_ORDER = [
     "clustering_directed", "apsp_sample", "sssp_path", "sssp_has_path",
     "sssp_avg_length", "lpa_u2i", "rect_count",
     # ---- position 51+: stable two-round-green entries ----
-    "tri_count", "bfs",
+    "tri_count", "bfs", "sssp",
     "tri_census", "k4_count", "core_numbers_k3", "eigenvector10",
     "katz10", "hits", "degree_centrality", "avg_degree_connectivity",
     "avg_clustering", "transitivity", "assortativity", "boundary",
@@ -3893,6 +3944,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "coloring": (q_coloring, _coloring_sql(20)),
         "onion_layers": (q_onion, _onion_sql(24, 28)),
         "degeneracy": (q_degeneracy, _degeneracy_sql()),
+        "louvain": (q_louvain, _louvain_sql(4)),
         "min_edge_cover": (q_min_edge_cover, _min_edge_cover_sql(12)),
         "tri_variants": (q_tri_variants, _TRI_VARIANTS_SQL),
         "ann_ivf": (q_ann_ivf, _ann_ivf_sql(10, 8, 2)),

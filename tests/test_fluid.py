@@ -88,3 +88,38 @@ def test_fluid_separates_planted_cliques(spark):
     right = {r["community"] for r in rows if r["id"] >= 12}
     assert len(left) == 1 and len(right) == 1 and left != right
     assert -1 not in left | right
+
+
+def test_louvain_separates_planted_cliques(spark):
+    from graphscope_spark.graph import Graph
+    from graphscope_spark.operators.louvain import louvain_one_level
+    from itertools import combinations
+
+    # two 5-cliques joined by one bridge edge
+    edges = (
+        list(combinations(range(5), 2))
+        + list(combinations(range(10, 15), 2))
+        + [(4, 10)]
+    )
+    g = Graph.from_edges(
+        spark.createDataFrame(edges, ["src", "dst"]), directed=False
+    )
+    out = {r["id"]: r["community"] for r in
+           louvain_one_level(g, rounds=4).collect()}
+    left = {out[v] for v in range(5)}
+    right = {out[v] for v in range(10, 15)}
+    # each clique collapses to one community, and they differ
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_louvain_deterministic(spark):
+    from graphscope_spark.graph import Graph
+    from graphscope_spark.operators.louvain import louvain_one_level
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3)]
+    g = Graph.from_edges(
+        spark.createDataFrame(edges, ["src", "dst"]), directed=False
+    )
+    a = sorted(map(tuple, louvain_one_level(g, rounds=4).collect()))
+    b = sorted(map(tuple, louvain_one_level(g, rounds=4).collect()))
+    assert a == b
