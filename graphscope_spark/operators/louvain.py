@@ -25,8 +25,10 @@ Modularity gain of moving ``v`` to community ``c``, unweighted:
 ``v`` into ``c``, ``sigma_tot\\v`` excludes ``v``'s own degree, the
 shared ``1/2m`` scale dropped.  Each round is three shuffles —
 community degree totals, neighbor-community counts, per-vertex
-argmax — all map-side combined; phase-2 graph compression would
-reuse ``Graph.from_edges`` on the contracted community edges.
+argmax — all map-side combined.  :func:`louvain` adds phase-2: a
+weighted community contraction (cross-community edge weights +
+per-community self weights) and another phase-1 pass on the
+contracted graph.
 """
 from __future__ import annotations
 
@@ -37,24 +39,43 @@ from ..graph import Graph
 from ..plans.adaptive import superstep_conf
 
 
-def louvain_one_level(graph: Graph, rounds: int = 4) -> DataFrame:
+def louvain_one_level(
+    graph: Graph,
+    rounds: int = 4,
+    sym: DataFrame | None = None,
+    self_w: DataFrame | None = None,
+) -> DataFrame:
     """``(id, community)`` after ``rounds`` deterministic synchronous
-    modularity-gain move rounds (phase 1 of Louvain)."""
-    sym = (
-        graph.symmetrized_edges()
-        .select("src", "dst")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    two_m = sym.count()
+    modularity-gain move rounds (phase 1 of Louvain).
+
+    ``sym``/``self_w`` are the multi-level hooks: a pre-weighted
+    symmetric edge table ``(src, dst, w)`` and per-vertex internal
+    (self-loop) weights ``(id, sw)`` from a community contraction.
+    Self-loop weight moves WITH the vertex, so it adds equally to
+    every candidate's ``e_vc`` and cancels out of the argmax — it
+    only enters ``k`` and ``2m``.
+    """
+    if sym is None:
+        sym = graph.symmetrized_edges().select(
+            "src", "dst", F.lit(1).cast("long").alias("w")
+        )
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    two_m = sym.agg(F.sum("w")).first()[0]
     deg = sym.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).cast("long").alias("k")
+        F.sum("w").cast("long").alias("k")
     )
     state = (
         graph.vertices.select("id", F.col("id").alias("comm"))
         .join(deg, "id", "left")
         .withColumn("k", F.coalesce("k", F.lit(0)).cast("long"))
-        .localCheckpoint(eager=True)
     )
+    if self_w is not None:
+        state = state.join(self_w, "id", "left").select(
+            "id", "comm",
+            (F.col("k") + F.coalesce("sw", F.lit(0))).alias("k"),
+        )
+        two_m += self_w.agg(F.sum("sw")).first()[0] or 0
+    state = state.localCheckpoint(eager=True)
     spark = graph.vertices.sparkSession
     with superstep_conf(spark, False):
         for r in range(rounds):
@@ -65,7 +86,7 @@ def louvain_one_level(graph: Graph, rounds: int = 4) -> DataFrame:
             cand = (
                 sym.join(nbr_comm, "dst")
                 .groupBy(F.col("src").alias("id"), "c")
-                .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+                .agg(F.sum("w").cast("long").alias("cnt"))
             )
             # staying put is always a candidate, even when no neighbor
             # shares v's community (its e_vc is then 0)
@@ -128,3 +149,70 @@ def louvain_one_level(graph: Graph, rounds: int = 4) -> DataFrame:
             )
     sym.unpersist()
     return state.select("id", F.col("comm").alias("community"))
+
+
+def louvain(graph: Graph, levels: int = 2, rounds: int = 4) -> DataFrame:
+    """Multi-level Louvain: run phase-1, compress each community to a
+    super-vertex (reference ``louvain.h`` ``compressCommunities``),
+    repeat on the contracted graph, and map final communities back to
+    the original vertices.  ``(id, community)``.
+
+    The contraction is one aggregation over the edge table (edges
+    relabeled by endpoint community, self-loops dropped for the
+    unweighted gain recomputation at the next level), so each level
+    costs strictly less than the previous one — the graph shrinks to
+    |communities| vertices.
+    """
+    mapping = louvain_one_level(graph, rounds=rounds)
+    for _ in range(1, levels):
+        m_src = mapping.select(
+            F.col("id").alias("src"), F.col("community").alias("csrc")
+        )
+        m_dst = mapping.select(
+            F.col("id").alias("dst"), F.col("community").alias("cdst")
+        )
+        relabeled = (
+            graph.symmetrized_edges()
+            .select("src", "dst")
+            .join(m_src, "src")
+            .join(m_dst, "dst")
+        )
+        contracted = (
+            relabeled.where(F.col("csrc") != F.col("cdst"))
+            .groupBy(
+                F.col("csrc").alias("src"), F.col("cdst").alias("dst")
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        )
+        # internal weight: both directions of each intra-community
+        # edge — exactly what 2m accounting needs
+        self_w = (
+            relabeled.where(F.col("csrc") == F.col("cdst"))
+            .groupBy(F.col("csrc").alias("id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("sw"))
+        )
+        if contracted.isEmpty():
+            break
+        super_g = Graph.from_edges(
+            contracted.select("src", "dst"), directed=False
+        )
+        super_map = louvain_one_level(
+            super_g, rounds=rounds, sym=contracted, self_w=self_w
+        )
+        mapping = (
+            mapping.join(
+                super_map.select(
+                    F.col("id").alias("community"),
+                    F.col("community").alias("community2"),
+                ),
+                "community",
+                "left",
+            )
+            .select(
+                "id",
+                F.coalesce("community2", "community").alias("community"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        graph = super_g  # next contraction starts from the super graph
+    return mapping

@@ -123,3 +123,32 @@ def test_louvain_deterministic(spark):
     a = sorted(map(tuple, louvain_one_level(g, rounds=4).collect()))
     b = sorted(map(tuple, louvain_one_level(g, rounds=4).collect()))
     assert a == b
+
+
+def test_louvain_multilevel_weighted_contraction(spark):
+    from graphscope_spark.graph import Graph
+    from graphscope_spark.operators.louvain import louvain, louvain_one_level
+    from itertools import combinations
+
+    edges = (
+        list(combinations(range(5), 2))
+        + list(combinations(range(10, 15), 2))
+        + [(4, 10)]
+    )
+    g = Graph.from_edges(
+        spark.createDataFrame(edges, ["src", "dst"]), directed=False
+    )
+    lvl1 = {r["id"]: r["community"] for r in
+            louvain_one_level(g, rounds=4).collect()}
+    lvl2 = {r["id"]: r["community"] for r in
+            louvain(g, levels=2, rounds=4).collect()}
+    # weighted contraction keeps the two cliques separate at level 2
+    # (an unweighted contraction would see a bare 2-vertex edge and
+    # wrongly merge them)
+    assert len(set(lvl2.values())) == 2
+    # level-2 labels are a coarsening of level 1: same-community
+    # vertices never split
+    for u in lvl1:
+        for v in lvl1:
+            if lvl1[u] == lvl1[v]:
+                assert lvl2[u] == lvl2[v]
