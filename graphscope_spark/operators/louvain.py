@@ -44,6 +44,7 @@ def louvain_one_level(
     rounds: int = 4,
     sym: DataFrame | None = None,
     self_w: DataFrame | None = None,
+    checkpoint=None,
 ) -> DataFrame:
     """``(id, community)`` after ``rounds`` deterministic synchronous
     modularity-gain move rounds (phase 1 of Louvain).
@@ -75,10 +76,16 @@ def louvain_one_level(
             (F.col("k") + F.coalesce("sw", F.lit(0))).alias("k"),
         )
         two_m += self_w.agg(F.sum("sw")).first()[0] or 0
-    state = state.localCheckpoint(eager=True)
     spark = graph.vertices.sparkSession
+    start_round = 0
+    if checkpoint is not None and (
+        latest := checkpoint.latest_superstep()
+    ) is not None:
+        state = checkpoint.load_state(spark, latest)
+        start_round = latest + 1
+    state = state.localCheckpoint(eager=True)
     with superstep_conf(spark, False):
-        for r in range(rounds):
+        for r in range(start_round, rounds):
             sig = state.groupBy("comm").agg(F.sum("k").alias("sig"))
             nbr_comm = state.select(
                 F.col("id").alias("dst"), F.col("comm").alias("c")
@@ -147,6 +154,8 @@ def louvain_one_level(
                 )
                 .localCheckpoint(eager=True)
             )
+            if checkpoint is not None:
+                checkpoint.save(r, state, {"round": r})
     sym.unpersist()
     return state.select("id", F.col("comm").alias("community"))
 

@@ -85,3 +85,23 @@ def test_multi_source_sssp_resume_equivalence(spark, tmp_path):
     got = {(r["source"], r["id"]): r["dist"]
            for r in multi_source_sssp(g, srcs, checkpoint=ck).collect()}
     assert got == want
+
+
+def test_louvain_resume_equivalence(spark, tmp_path):
+    from itertools import combinations
+    from graphscope_spark.operators.louvain import louvain_one_level
+
+    edges = (
+        list(combinations(range(5), 2))
+        + list(combinations(range(10, 15), 2))
+        + [(4, 10)]
+    )
+    g = make_graph(spark, sorted({v for e in edges for v in e}), edges)
+    want = {r["id"]: r["community"] for r in
+            louvain_one_level(g, rounds=4).collect()}
+    ck = CheckpointManager(str(tmp_path), "louvain")
+    louvain_one_level(g, rounds=2, checkpoint=ck)  # "crash" after round 1
+    assert ck.latest_superstep() == 1
+    got = {r["id"]: r["community"] for r in
+           louvain_one_level(g, rounds=4, checkpoint=ck).collect()}
+    assert got == want
