@@ -318,6 +318,27 @@ class Graph:
         return Graph.from_edges(e, directed=self.directed, vertices=v,
                                 num_partitions=self.num_partitions)
 
+    def add_labels(
+        self,
+        vertices: DataFrame | None = None,
+        edges: DataFrame | None = None,
+    ) -> "Graph":
+        """ADD_LABELS (reference ``core/grape_instance.cc:1453-1457``):
+        append additional labeled vertex/edge tables to the graph.
+        Property columns that exist on only one side are kept and
+        null-filled on the other (``allowMissingColumns``), matching
+        the property-graph union of label schemas."""
+        v = self.vertices
+        if vertices is not None:
+            v = v.unionByName(vertices, allowMissingColumns=True)
+        e = self.edges
+        if edges is not None:
+            e = e.unionByName(edges, allowMissingColumns=True)
+        return Graph.from_edges(
+            e, directed=self.directed, vertices=v,
+            num_partitions=self.num_partitions,
+        )
+
     def consolidate_columns(
         self, columns: list[str], out: str = "consolidated"
     ) -> DataFrame:

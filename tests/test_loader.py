@@ -44,3 +44,24 @@ def test_csv_graph_end_to_end(spark, tmp_path):
     )
     comp = {r["id"]: r["comp"] for r in wcc(g).collect()}
     assert len(set(comp.values())) == 1
+
+
+def test_add_labels_union(spark):
+    from pyspark.sql import functions as F
+    from graphscope_spark.graph import Graph
+
+    g = Graph.from_edges(
+        spark.createDataFrame([(0, 1)], ["src", "dst"]), directed=True
+    )
+    more_v = spark.createDataFrame([(5, "red")], ["id", "color"])
+    more_e = spark.createDataFrame([(5, 0)], ["src", "dst"])
+    g2 = g.add_labels(vertices=more_v, edges=more_e)
+    assert sorted(r["id"] for r in g2.vertices.collect()) == [0, 1, 5]
+    assert g2.edges.count() == 2
+    # schema union keeps the new property, null for old vertices
+    colors = {r["id"]: r["color"] for r in g2.vertices.collect()}
+    assert colors[5] == "red" and colors[0] is None
+    # app still runs on the merged graph
+    from graphscope_spark.operators.wcc import wcc
+    comp = wcc(g2.undirected())
+    assert comp.count() == 3
