@@ -65,3 +65,9 @@ def test_add_labels_union(spark):
     from graphscope_spark.operators.wcc import wcc
     comp = wcc(g2.undirected())
     assert comp.count() == 3
+
+
+def test_orc_sniffing(spark, tmp_path):
+    p = str(tmp_path / "v.orc")
+    spark.createDataFrame([(1,), (2,), (3,)], ["id"]).write.orc(p)
+    assert load_table(spark, p).count() == 3
