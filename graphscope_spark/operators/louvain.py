@@ -225,3 +225,37 @@ def louvain(graph: Graph, levels: int = 2, rounds: int = 4) -> DataFrame:
         )
         graph = super_g  # next contraction starts from the super graph
     return mapping
+
+
+def modularity(
+    graph: Graph, assignment: DataFrame, community_col: str = "community"
+) -> DataFrame:
+    """Newman modularity of a community assignment, unweighted:
+    ``Q = Σ_c [ e_c/m − (d_c/2m)² ]`` with ``e_c`` = intra-community
+    edges, ``d_c`` = total degree of the community.  One row,
+    ``(modularity double)`` rounded to 6dp — two aggregations over
+    the edge table, no iteration.  The quality number the reference's
+    Louvain maximizes (``louvain.h`` phase-1 halting)."""
+    sym = graph.symmetrized_edges().select("src", "dst")
+    two_m = sym.count()
+    a_src = assignment.select(
+        F.col("id").alias("src"), F.col(community_col).alias("ca")
+    )
+    a_dst = assignment.select(
+        F.col("id").alias("dst"), F.col(community_col).alias("cb")
+    )
+    labeled = sym.join(a_src, "src").join(a_dst, "dst")
+    intra = labeled.where(F.col("ca") == F.col("cb")).groupBy(
+        F.col("ca").alias("c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("e2"))  # 2·e_c
+    deg = labeled.groupBy(F.col("ca").alias("c")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    per_c = deg.join(intra, "c", "left").select(
+        (
+            F.coalesce("e2", F.lit(0)) / F.lit(float(two_m))
+            - (F.col("d") / F.lit(float(two_m)))
+            * (F.col("d") / F.lit(float(two_m)))
+        ).alias("q")
+    )
+    return per_c.agg(F.round(F.sum("q"), 6).alias("modularity"))

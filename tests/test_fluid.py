@@ -152,3 +152,21 @@ def test_louvain_multilevel_weighted_contraction(spark):
         for v in lvl1:
             if lvl1[u] == lvl1[v]:
                 assert lvl2[u] == lvl2[v]
+
+
+def test_modularity_two_cliques(spark):
+    from itertools import combinations
+    from graphscope_spark.graph import Graph
+    from graphscope_spark.operators.louvain import (
+        louvain_one_level, modularity)
+
+    edges = (list(combinations(range(5), 2))
+             + list(combinations(range(10, 15), 2)) + [(4, 10)])
+    g = Graph.from_edges(
+        spark.createDataFrame(edges, ["src", "dst"]), directed=False
+    )
+    asg = louvain_one_level(g, rounds=4)
+    q = modularity(g, asg).first()["modularity"]
+    # two 10-edge cliques + 1 bridge, perfect split:
+    # Q = 2 * (10/21 - (21/42)^2) = 20/21 - 0.5
+    assert abs(q - (20 / 21 - 0.5)) < 1e-6
