@@ -201,3 +201,38 @@ def test_degeneracy_ordering_is_valid(spark):
             1 for (a, b) in sym if a == v and pos[b] > pos[v]
         )
         assert later <= 2, (v, later)
+
+
+def test_link_prediction_family(spark):
+    import math
+    from graphscope_spark.graph import Graph
+    from graphscope_spark.operators.linkpred import (
+        adamic_adar, jaccard_coefficient, preferential_attachment)
+
+    # square 0-1-2-3-0: candidates are the two diagonals (0,2), (1,3)
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    g = Graph.from_edges(
+        spark.createDataFrame(edges, ["src", "dst"]), directed=False
+    )
+    jc = {(r["u"], r["v"]): r["jaccard"]
+          for r in jaccard_coefficient(g).collect()}
+    # N(0)={1,3}, N(2)={1,3}: inter 2, union 2 -> 1.0
+    assert jc == {(0, 2): 1.0, (1, 3): 1.0}
+    pa = {(r["u"], r["v"]): r["pa"]
+          for r in preferential_attachment(g).collect()}
+    assert pa == {(0, 2): 4, (1, 3): 4}
+    aa = {(r["u"], r["v"]): r["aa"] for r in adamic_adar(g).collect()}
+    want = round(2.0 / math.log(2.0), 6)
+    assert aa == {(0, 2): want, (1, 3): want}
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    from graphscope_spark.graph import Graph
+    from graphscope_spark.operators.linkpred import jaccard_coefficient
+
+    # triangle: every pair is adjacent -> no candidates at all
+    g = Graph.from_edges(
+        spark.createDataFrame([(0, 1), (1, 2), (2, 0)], ["src", "dst"]),
+        directed=False,
+    )
+    assert jaccard_coefficient(g).count() == 0
