@@ -2380,9 +2380,9 @@ def q_degeneracy(spark, sf_dir):
     return degeneracy_ordering(part_graph_min2(spark, sf_dir))
 
 
-def _degeneracy_sql() -> str:
+def _degeneracy_sql(core_rounds: int = 24, layer_rounds: int = 28) -> str:
     return (
-        f"WITH o AS ({_onion_sql(24, 28)})\n"
+        f"WITH o AS ({_onion_sql(core_rounds, layer_rounds)})\n"
         "SELECT id, (row_number() OVER (ORDER BY layer, id) - 1)::BIGINT"
         " AS pos FROM o"
     )

@@ -132,6 +132,15 @@ CASES = {
         lambda: E._min_edge_cover_sql(12),
         lambda: E._min_edge_cover_sql(13),
     ),
+    # late round-3: the successor pivot of the same BFS tree, and the
+    # degeneracy ordering built on the onion fixpoint
+    "bfs_succ": (
+        lambda: E._bfs_succ_sql(6), lambda: E._bfs_succ_sql(7)
+    ),
+    "degeneracy": (
+        lambda: E._degeneracy_sql(24, 28),
+        lambda: E._degeneracy_sql(25, 29),
+    ),
 }
 
 
