@@ -42,8 +42,15 @@ def pagerank(
     message_combine: str = "map",
     adaptive: bool = False,
     stats: dict | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Returns ``(id long, rank double)``.
+
+    ``init_ranks`` warm-starts the iteration from a previous result
+    ``(id, rank)`` — vertices missing from it start at ``1/N`` and the
+    whole vector is renormalised to sum 1, so a slightly-changed graph
+    (streaming micro-batch, incremental update) converges in a few
+    rounds instead of from scratch.
 
     ``adaptive=False`` pins AQE off for the superstep loop (restored
     after): the per-round plan is fixed-shape, skew is handled by
@@ -72,7 +79,7 @@ def pagerank(
     with superstep_conf(graph.vertices.sparkSession, adaptive):
         return _pagerank_loop(
             graph, alpha, max_iter, tol, checkpoint,
-            lineage_truncate_every, message_combine, stats,
+            lineage_truncate_every, message_combine, stats, init_ranks,
         )
 
 
@@ -227,6 +234,7 @@ def _pagerank_loop(
     lineage_truncate_every: int,
     message_combine: str,
     stats: dict | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     direction = "in" if graph.directed else "both"
     # messages flow src→dst along this adjacency: for the pull-from-
@@ -253,6 +261,17 @@ def _pagerank_loop(
         state = checkpoint.load_state(graph.vertices.sparkSession, latest)
         state = state.persist(StorageLevel.MEMORY_AND_DISK)
         start_step = latest + 1
+    elif init_ranks is not None:
+        # warm start: carry over prior ranks, default new vertices to
+        # 1/N, renormalize so the mass invariant (Σ rank = 1) holds
+        seeded = base_v.select("id").join(
+            init_ranks.select("id", F.col("rank").alias("r0")), "id", "left"
+        ).select("id", F.coalesce("r0", F.lit(1.0 / n)).alias("rank"))
+        total = seeded.agg(F.sum("rank")).first()[0] or 1.0
+        state = seeded.select(
+            "id", (F.col("rank") / F.lit(float(total))).alias("rank")
+        )
+        state = state.persist(StorageLevel.MEMORY_AND_DISK)
     else:
         state = base_v.select("id", F.lit(1.0 / n).alias("rank"))
         state = state.persist(StorageLevel.MEMORY_AND_DISK)

@@ -151,3 +151,59 @@ def run_to_sink(
         .start()
         .awaitTermination()
     )
+
+
+def incremental_pagerank(
+    edge_stream: DataFrame,
+    work_dir: str,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    directed: bool = True,
+):
+    """Streaming-graph PageRank: as edge micro-batches land, recompute
+    PageRank over the accumulated edge log, **warm-started from the
+    previous result** — a slightly-grown graph re-converges in a few
+    supersteps instead of from 1/N (the standard foreachBatch
+    incremental-analytics pattern; true delta-PageRank needs
+    engine-level mutable state Spark doesn't expose).
+
+    Layout under ``work_dir``: ``edges/`` the append-only edge log,
+    ``ranks/`` the latest (id, rank).  Returns the StreamingQuery;
+    read ``{work_dir}/ranks`` after any trigger for current scores.
+    """
+    from ..graph import Graph
+    from ..operators.pagerank import pagerank
+
+    spark = edge_stream.sparkSession
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch.select("src", "dst").write.mode("append").parquet(
+            f"{work_dir}/edges"
+        )
+        g = Graph.from_edges(
+            spark.read.parquet(f"{work_dir}/edges").distinct(),
+            directed=directed,
+        )
+        try:
+            prev = spark.read.parquet(f"{work_dir}/ranks")
+        except Exception:
+            prev = None
+        ranks = pagerank(
+            g, alpha=alpha, tol=tol, max_iter=max_iter, init_ranks=prev
+        )
+        # stage then swap: a crash mid-write never corrupts ranks/
+        ranks.write.mode("overwrite").parquet(f"{work_dir}/ranks_next")
+        import shutil
+
+        shutil.rmtree(f"{work_dir}/ranks", ignore_errors=True)
+        shutil.move(f"{work_dir}/ranks_next", f"{work_dir}/ranks")
+
+    return (
+        edge_stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", f"{work_dir}/_stream_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )

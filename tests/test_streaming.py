@@ -141,3 +141,35 @@ def test_streaming_dedup_drops_replayed_docs(spark, tmp_path):
     # exactly one survivor per distinct normalized content
     assert len(kept) == 2
     assert kept[1] == 3 and kept[0] in (1, 2, 4)
+
+
+def test_incremental_pagerank_warm_start(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from graphscope_spark.graph import Graph
+    from graphscope_spark.operators.pagerank import pagerank
+    from graphscope_spark.streaming.edge_stream import (
+        incremental_pagerank, read_edge_stream)
+
+    src = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    import datetime as dt
+    t = dt.datetime(2026, 1, 1)
+    batch1 = [(0, 1), (1, 2), (2, 0)]
+    batch2 = [(2, 3), (3, 0)]
+    _write_edge_batch(spark, src, [(a, b, t) for a, b in batch1])
+    _write_edge_batch(spark, src, [(a, b, t) for a, b in batch2])
+    q = incremental_pagerank(
+        read_edge_stream(spark, src, max_files_per_trigger=1), work
+    )
+    q.awaitTermination(300)
+    got = {r["id"]: r["rank"]
+           for r in spark.read.parquet(f"{work}/ranks").collect()}
+    # equals a from-scratch batch run on the full edge set
+    g = Graph.from_edges(
+        spark.createDataFrame(batch1 + batch2, ["src", "dst"])
+    )
+    want = {r["id"]: r["rank"] for r in pagerank(g, tol=1e-6).collect()}
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-4, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
