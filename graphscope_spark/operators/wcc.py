@@ -38,9 +38,16 @@ def wcc(
     checkpoint: CheckpointManager | None = None,
     lineage_truncate_every: int = 5,
     adaptive: bool = False,
+    init_labels: DataFrame | None = None,
 ) -> DataFrame:
     """Returns ``(id long, comp long)`` with ``comp`` = min vertex id
     in the weakly-connected component.
+
+    ``init_labels`` warm-starts from a previous result ``(id, comp)``
+    (incremental/streaming growth): every label is a vertex id inside
+    the same component, so min-label propagation from old labels
+    converges to the true new minimum — unchanged regions settle in
+    one round.
 
     ``adaptive=False`` pins AQE off for the loop (restored after): the
     superstep plan is fixed-shape and already min-combined map-side,
@@ -50,7 +57,7 @@ def wcc(
 
     with superstep_conf(graph.vertices.sparkSession, adaptive):
         return _wcc_loop(graph, max_iter, pointer_jumping, checkpoint,
-                         lineage_truncate_every)
+                         lineage_truncate_every, init_labels)
 
 
 def _wcc_loop(
@@ -59,6 +66,7 @@ def _wcc_loop(
     pointer_jumping: bool,
     checkpoint: CheckpointManager | None,
     lineage_truncate_every: int,
+    init_labels: DataFrame | None = None,
 ) -> DataFrame:
     edges = graph.symmetrized_edges().select("src", "dst")
     if graph.num_partitions:
@@ -69,6 +77,10 @@ def _wcc_loop(
     if checkpoint is not None and (latest := checkpoint.latest_superstep()) is not None:
         state = checkpoint.load_state(graph.vertices.sparkSession, latest)
         start_step = latest + 1
+    elif init_labels is not None:
+        state = graph.vertices.select("id").join(
+            init_labels.select("id", F.col("comp").alias("c0")), "id", "left"
+        ).select("id", F.coalesce("c0", F.col("id")).alias("comp"))
     else:
         state = graph.vertices.select("id", F.col("id").alias("comp"))
     state = state.persist(StorageLevel.MEMORY_AND_DISK)

@@ -188,7 +188,11 @@ def incremental_pagerank(
             directed=directed,
         )
         try:
-            prev = spark.read.parquet(f"{work_dir}/ranks")
+            # eager copy: the swap below replaces these files, and a
+            # lazy reference would fail on any later re-evaluation
+            prev = spark.read.parquet(f"{work_dir}/ranks").localCheckpoint(
+                eager=True
+            )
         except Exception:
             prev = None
         ranks = pagerank(
@@ -200,6 +204,51 @@ def incremental_pagerank(
 
         shutil.rmtree(f"{work_dir}/ranks", ignore_errors=True)
         shutil.move(f"{work_dir}/ranks_next", f"{work_dir}/ranks")
+
+    return (
+        edge_stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", f"{work_dir}/_stream_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def incremental_wcc(
+    edge_stream: DataFrame, work_dir: str, directed: bool = True
+):
+    """Streaming-graph connected components: same foreachBatch shape
+    as :func:`incremental_pagerank`, warm-started from the previous
+    labeling — every old label is a vertex id inside its component,
+    so min-label propagation over the grown graph converges to the
+    new minima with unchanged regions settling in one round."""
+    from ..graph import Graph
+    from ..operators.wcc import wcc
+
+    spark = edge_stream.sparkSession
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch.select("src", "dst").write.mode("append").parquet(
+            f"{work_dir}/edges"
+        )
+        g = Graph.from_edges(
+            spark.read.parquet(f"{work_dir}/edges").distinct(),
+            directed=directed,
+        )
+        try:
+            # eager copy — see incremental_pagerank
+            prev = spark.read.parquet(f"{work_dir}/comps").localCheckpoint(
+                eager=True
+            )
+        except Exception:
+            prev = None
+        comps = wcc(g, init_labels=prev)
+        comps.write.mode("overwrite").parquet(f"{work_dir}/comps_next")
+        import shutil
+
+        shutil.rmtree(f"{work_dir}/comps", ignore_errors=True)
+        shutil.move(f"{work_dir}/comps_next", f"{work_dir}/comps")
 
     return (
         edge_stream.writeStream.foreachBatch(on_batch)

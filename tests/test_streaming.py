@@ -173,3 +173,22 @@ def test_incremental_pagerank_warm_start(spark, tmp_path):
     for v in want:
         assert abs(got[v] - want[v]) < 1e-4, v
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_incremental_wcc_merges_components(spark, tmp_path):
+    from graphscope_spark.streaming.edge_stream import (
+        incremental_wcc, read_edge_stream)
+
+    src = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    t = dt.datetime(2026, 1, 1)
+    # batch 1: two separate components; batch 2: an edge merging them
+    _write_edge_batch(spark, src, [(0, 1, t), (2, 3, t)])
+    _write_edge_batch(spark, src, [(1, 2, t)])
+    q = incremental_wcc(
+        read_edge_stream(spark, src, max_files_per_trigger=1), work
+    )
+    q.awaitTermination(300)
+    comps = {r["id"]: r["comp"]
+             for r in spark.read.parquet(f"{work}/comps").collect()}
+    assert comps == {0: 0, 1: 0, 2: 0, 3: 0}
