@@ -192,3 +192,48 @@ def test_incremental_wcc_merges_components(spark, tmp_path):
     comps = {r["id"]: r["comp"]
              for r in spark.read.parquet(f"{work}/comps").collect()}
     assert comps == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
+def test_incremental_triangles_delta(spark, tmp_path):
+    from graphscope_spark.streaming.edge_stream import (
+        incremental_triangles, read_edge_stream)
+
+    src = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    t = dt.datetime(2026, 1, 1)
+    # batch 1: a triangle (1) + an open wedge
+    _write_edge_batch(
+        spark, src, [(0, 1, t), (1, 2, t), (2, 0, t), (3, 4, t)]
+    )
+    # batch 2: closes the wedge (3-4-5), adds a 2-new wedge on 0-1
+    # (edges 1-5 old? no: 4-5 and 3-5 -> one new-new-old triangle)
+    _write_edge_batch(spark, src, [(4, 5, t), (3, 5, t), (1, 0, t)])
+    q = incremental_triangles(
+        read_edge_stream(spark, src, max_files_per_trigger=1), work
+    )
+    q.awaitTermination(300)
+    row = spark.read.parquet(f"{work}/count").first()
+    # total: {0,1,2} from batch 1 + {3,4,5} from batch 2 (edge 1-0 is
+    # a duplicate of 0-1 and must be ignored)
+    assert row["triangles"] == 2, row
+    assert row["delta"] == 1
+
+
+def test_triangle_delta_cases(spark):
+    from graphscope_spark.streaming.edge_stream import triangle_delta
+
+    old = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 3)], ["src", "dst"]
+    )
+    # 1-new: 0-2 closes 0-1-2; 2-new: 1-3 and ... mixed batch:
+    new = spark.createDataFrame([(0, 2), (1, 3)], ["src", "dst"])
+    # 0-2 + old(0-1,1-2) = 1 triangle; 1-3 + old(0-1,0-3) = 1 triangle
+    # no 2-new wedge closed by old (0-2,1-3 share no vertex), no 3-new
+    assert triangle_delta(old, new) == 2
+    # pure 3-new triangle with no old graph
+    tri = spark.createDataFrame([(7, 8), (8, 9), (7, 9)], ["src", "dst"])
+    assert triangle_delta(None, tri) == 1
+    # 2-new wedge closed by old edge
+    old2 = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    new2 = spark.createDataFrame([(0, 2), (1, 2)], ["src", "dst"])
+    assert triangle_delta(old2, new2) == 1
