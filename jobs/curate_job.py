@@ -7,8 +7,9 @@ dependency order, each stage reading only what the previous one kept:
 2. near-dup dedup     — MinHash/LSH groups, keep canonical doc
 3. decontamination    — drop docs overlapping the benchmark set
 4. quality filter     — Gopher-style length/punct + repetition gates
-5. stratified sample  — deterministic per-language rebalance
-6. sequence packing   — global token offsets + context-window bins
+5. PII scrub          — redact emails/IPs/phones in the kept text
+6. stratified sample  — deterministic per-language rebalance
+7. sequence packing   — global token offsets + context-window bins
 
 Usage::
 
@@ -51,6 +52,7 @@ from graphscope_spark.functions.curation import (  # noqa: E402
     stratum_counts,
 )
 from graphscope_spark.functions.text import (  # noqa: E402
+    pii_scrub,
     repetition_stats,
     text_stats,
 )
@@ -109,7 +111,24 @@ def main() -> None:
     )
     stages["quality"] = docs.count()
 
-    # 5. deterministic language rebalance
+    # 5. PII scrub: replace text with the redacted version
+    scrubbed = pii_scrub(docs)
+    stages["pii_redactions"] = int(
+        scrubbed.agg(
+            F.sum(F.col("n_email") + F.col("n_ip") + F.col("n_phone"))
+        ).first()[0]
+        or 0
+    )
+    docs = cut(
+        docs.drop("text").join(
+            scrubbed.select(
+                "doc_id", F.col("text_clean").alias("text")
+            ),
+            "doc_id",
+        )
+    )
+
+    # 6. deterministic language rebalance
     docs = stratified_sample(
         docs, "lang",
         {"en": 0.5, "de": 0.9, "es": 0.9, "fr": 0.9, "zh": 0.9},
@@ -120,7 +139,7 @@ def main() -> None:
         for r in stratum_counts(docs, "lang").collect()
     }
 
-    # 6. pack into context windows
+    # 7. pack into context windows
     packed = pack_sequences(docs, window=512)
     stages["packed_bins"] = (
         packed.agg(F.countDistinct("bin_id")).first()[0]
