@@ -1,0 +1,56 @@
+"""Gremlin-flavored traversal surface (GIE user API)."""
+from pyspark.sql import functions as F
+
+from graphscope_spark.gie import traversal
+from graphscope_spark.graph import Graph
+
+
+def _g(spark):
+    # 0→1→2→3, 0→2, 3→0 ; vertex property "color"
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 2), (3, 0)], ["src", "dst"]
+    )
+    v = spark.createDataFrame(
+        [(0, "red"), (1, "blue"), (2, "red"), (3, "blue")],
+        ["id", "color"],
+    )
+    return Graph.from_edges(e, directed=True, vertices=v)
+
+
+def test_hops_and_bag_semantics(spark):
+    g = traversal(_g(spark))
+    # out().out() keeps duplicate traversers (bag semantics):
+    # 0→{1,2}→{2,3}: paths 0-1-2, 0-2-3 -> two traversers
+    assert sorted(g.V(0).out().out().toList()) == [2, 3]
+    # bag sizes: {0,1} -out-> {1,2,2} -out-> {2,3,3}: 3 traversers
+    assert g.V(0, 1).out().out().count() == 3
+    assert g.V(0, 1).out().out().dedup().count() == 2
+
+
+def test_direction_steps(spark):
+    g = traversal(_g(spark))
+    assert sorted(g.V(2).in_().toList()) == [0, 1]
+    assert sorted(g.V(0).both().dedup().toList()) == [1, 2, 3]
+    assert g.E().count() == 5
+    assert g.V(0).outE().count() == 2
+    assert sorted(g.V(0).outE().otherV().toList()) == [1, 2]
+
+
+def test_has_filter_and_values(spark):
+    g = traversal(_g(spark))
+    reds = (
+        g.V().out().dedup().values("color")
+        .where(F.col("color") == "red")
+        .collect()
+    )
+    assert sorted(r["id"] for r in reds) == [0, 2]
+    # property filter mid-traversal via values→ids would be has() on
+    # a joined frame; hasId narrows the frontier
+    assert g.V().hasId(0, 3).out().dedup().count() == 3
+
+
+def test_limit_deterministic(spark):
+    g = traversal(_g(spark))
+    a = g.V().limit(2).toList()
+    b = g.V().limit(2).toList()
+    assert a == b == [0, 1]
