@@ -14,7 +14,9 @@ terminal (``count / toDF / values``), so Catalyst sees the whole
 pipeline (filter pushdown through the hops, join reordering).
 
 Supported steps: ``V, E, has, hasId, out, in_, both, outE, inE,
-bothE, otherV, limit, dedup, values, select, count, where_``.
+bothE, otherV, limit, dedup, values, select, count, where_, path``
+(enable path tracking with ``V(..., track_path=True)`` — each hop
+then appends to an array column, Gremlin's ``path()`` history).
 """
 from __future__ import annotations
 
@@ -57,10 +59,16 @@ class Traversal:
     # ------------------------------------------------------------- hops
     def _hop(self, edges: DataFrame, from_col: str, to_col: str):
         assert self._kind == "v", "hop from a vertex traversal"
+        carry = ["p"] if "p" in self._df.columns else []
         stepped = self._df.select(
-            F.col("id").alias(from_col)
-        ).join(edges, from_col)
-        return stepped.select(F.col(to_col).alias("id"))
+            F.col("id").alias(from_col), *carry
+        ).join(edges.select(from_col, to_col), from_col)
+        cols = [F.col(to_col).alias("id")]
+        if carry:
+            cols.append(
+                F.concat(F.col("p"), F.array(F.col(to_col))).alias("p")
+            )
+        return stepped.select(*cols)
 
     def out(self) -> "Traversal":
         return Traversal(
@@ -141,6 +149,14 @@ class Traversal:
         key = "id" if self._kind == "v" else "src"
         return [r[0] for r in self._df.orderBy(key).collect()]
 
+    def path(self) -> DataFrame:
+        """Gremlin ``path()``: the full hop history of each traverser
+        as an array column (requires ``V(..., track_path=True)``)."""
+        assert "p" in self._df.columns, (
+            "start the traversal with track_path=True to record paths"
+        )
+        return self._df.select(F.col("p").alias("path"))
+
 
 class GraphTraversalSource:
     """``g = traversal(graph); g.V()...`` — the GIE entry object."""
@@ -148,10 +164,12 @@ class GraphTraversalSource:
     def __init__(self, graph: Graph):
         self._g = graph
 
-    def V(self, *ids) -> Traversal:
+    def V(self, *ids, track_path: bool = False) -> Traversal:
         df = self._g.vertices.select("id")
         if ids:
             df = df.where(F.col("id").isin(*ids))
+        if track_path:
+            df = df.withColumn("p", F.array(F.col("id")))
         return Traversal(self._g, df, "v")
 
     def E(self) -> Traversal:

@@ -54,3 +54,12 @@ def test_limit_deterministic(spark):
     a = g.V().limit(2).toList()
     b = g.V().limit(2).toList()
     assert a == b == [0, 1]
+
+
+def test_path_tracking(spark):
+    g = traversal(_g(spark))
+    paths = sorted(
+        tuple(r["path"])
+        for r in g.V(0, track_path=True).out().out().path().collect()
+    )
+    assert paths == [(0, 1, 2), (0, 2, 3)]
