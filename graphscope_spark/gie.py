@@ -128,7 +128,25 @@ class Traversal:
             self._kind,
         )
 
+    def repeat(self, step: str, times: int) -> "Traversal":
+        """Gremlin ``repeat(out()).times(k)``: apply ``step`` ("out",
+        "in_", "both") ``times`` times — the plan stays one lazy
+        chain of joins, so Catalyst optimizes the whole unrolled
+        pipeline."""
+        t = self
+        for _ in range(times):
+            t = getattr(t, step)()
+        return t
+
     # -------------------------------------------------------- terminals
+    def groupCount(self) -> DataFrame:
+        """Gremlin ``groupCount()``: traverser multiplicity per
+        element — ``(id, n)``."""
+        key = "id" if self._kind == "v" else "src"
+        return self._df.groupBy(key).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+
     def values(self, *columns: str) -> DataFrame:
         """Project vertex properties (joins the vertex table)."""
         assert self._kind == "v"

@@ -63,3 +63,15 @@ def test_path_tracking(spark):
         for r in g.V(0, track_path=True).out().out().path().collect()
     )
     assert paths == [(0, 1, 2), (0, 2, 3)]
+
+
+def test_repeat_and_group_count(spark):
+    g = traversal(_g(spark))
+    # repeat(out, 2) == out().out()
+    assert sorted(g.V(0).repeat("out", 2).toList()) == sorted(
+        g.V(0).out().out().toList()
+    )
+    gc = {r["id"]: r["n"]
+          for r in g.V(0, 1).out().groupCount().collect()}
+    # {0,1} -out-> bag {1, 2, 2}
+    assert gc == {1: 1, 2: 2}
