@@ -334,13 +334,19 @@ def min_vertex_cover_greedy(graph: Graph, max_iter: int = 10_000) -> DataFrame:
     oracle reproduces the exact set.  O(log n) expected rounds; each
     round is one neighbor-max join + one decrement aggregation over
     the shrinking active subgraph."""
+    from graphscope_spark.plans.checkpoint import LoopTruncator
+
     edges = graph.symmetrized_edges().select("src", "dst").persist(
         StorageLevel.MEMORY_AND_DISK
     )
     deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
-    state = (
+    # dense tied neighborhoods serialize this greedy (one pick per
+    # round), so the loop can exceed the ~15-link localCheckpoint
+    # cliff — hybrid hard-cut truncation keeps per-round time flat
+    trunc = LoopTruncator(graph.vertices.sparkSession, "mincover")
+    state = trunc.cut(
         graph.vertices.select("id")
         .join(deg, "id", "left")
         .select(
@@ -349,7 +355,6 @@ def min_vertex_cover_greedy(graph: Graph, max_iter: int = 10_000) -> DataFrame:
             F.lit(0).alias("c"),
             F.lit(1).alias("a"),
         )
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         if state.where(F.col("a") == 1).limit(1).count() == 0:
@@ -373,7 +378,7 @@ def min_vertex_cover_greedy(graph: Graph, max_iter: int = 10_000) -> DataFrame:
             )
             .select("id")
             .localCheckpoint(eager=True)
-        )
+        )  # short-lived (consumed this round) — chain risk is `state`
         # selected vertices cover themselves; their still-uncovered
         # neighbors (reference check = !d.c AFTER selection) lose one
         # residual degree per selected neighbor
@@ -400,9 +405,13 @@ def min_vertex_cover_greedy(graph: Graph, max_iter: int = 10_000) -> DataFrame:
                 ((F.col("a") == 1) & (F.col("c") == 0) & (F.col("d") > 0))
                 .cast("int").alias("a"),
             )
-            .localCheckpoint(eager=True)
         )
-    return state.select("id", F.col("c").alias("in_cover"))
+        state = trunc.cut(state)
+    out = state.select("id", F.col("c").alias("in_cover"))
+    out = out.localCheckpoint(eager=True)  # survive trunc dir removal
+    trunc.close()
+    edges.unpersist()
+    return out
 
 
 def min_dominating_set_greedy(graph: Graph, max_iter: int = 10_000) -> DataFrame:
@@ -415,12 +424,17 @@ def min_dominating_set_greedy(graph: Graph, max_iter: int = 10_000) -> DataFrame
     residual-count = #non-dominated neighbors and repeat until every
     vertex is dominated.  Tie-break: larger (count, id) wins, per the
     reference's GT test.  Deterministic → exact SQL oracle."""
+    from graphscope_spark.plans.checkpoint import LoopTruncator
+
     edges = graph.symmetrized_edges().select("src", "dst").persist(
         StorageLevel.MEMORY_AND_DISK
     )
     deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("mc")
     )
+    # like min_cover, dense tied neighborhoods can push this loop far
+    # past the localCheckpoint-chain cliff — hybrid hard cuts
+    trunc = LoopTruncator(graph.vertices.sparkSession, "mindom")
     state = (
         graph.vertices.select("id")
         .join(deg, "id", "left")
@@ -431,10 +445,11 @@ def min_dominating_set_greedy(graph: Graph, max_iter: int = 10_000) -> DataFrame
             F.lit(0).alias("dom"),
             F.lit(0).alias("b"),
         )
-        .localCheckpoint(eager=True)
     )
+    state = trunc.cut(state)
 
     def _max_prop(st):
+        # (truncated by the caller via trunc.cut)
         # one step: active vertices take the max (mc, mi) over self
         # and non-dominated neighbors
         nb = edges.join(
@@ -457,13 +472,12 @@ def min_dominating_set_greedy(graph: Graph, max_iter: int = 10_000) -> DataFrame
             )
             .select("id", F.col("s.mc").alias("mc"),
                     F.col("s.mi").alias("mi"), "dom", "b")
-            .localCheckpoint(eager=True)
         )
 
     for _ in range(max_iter):
         if state.where(F.col("dom") == 0).limit(1).count() == 0:
             break
-        state = _max_prop(_max_prop(state))
+        state = trunc.cut(_max_prop(trunc.cut(_max_prop(state))))
         sel = (
             state.where((F.col("dom") == 0) & (F.col("mi") == F.col("id")))
             .select("id")
@@ -486,8 +500,8 @@ def min_dominating_set_greedy(graph: Graph, max_iter: int = 10_000) -> DataFrame
                 F.greatest("dom", F.coalesce("hit", F.lit(0))).alias("dom"),
                 F.greatest("b", F.coalesce("inb", F.lit(0))).alias("b"),
             )
-            .localCheckpoint(eager=True)
         )
+        state = trunc.cut(state)
         # survivors reset: mi = id, mc = #non-dominated neighbors
         rc = (
             edges.join(
@@ -509,9 +523,13 @@ def min_dominating_set_greedy(graph: Graph, max_iter: int = 10_000) -> DataFrame
                 .otherwise(F.col("mi")).alias("mi"),
                 "dom", "b",
             )
-            .localCheckpoint(eager=True)
         )
-    return state.select("id", F.col("b").alias("in_dom_set"))
+        state = trunc.cut(state)
+    out = state.select("id", F.col("b").alias("in_dom_set"))
+    out = out.localCheckpoint(eager=True)  # survive trunc dir removal
+    trunc.close()
+    edges.unpersist()
+    return out
 
 
 def voterank(graph: Graph, num_seeds: int = 10) -> DataFrame:
