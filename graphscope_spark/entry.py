@@ -4012,7 +4012,11 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "bfs_succ": (q_bfs_succ, _bfs_succ_sql(6)),
         "msf": (q_msf, _msf_sql(12, 6)),
         "core_numbers": (q_core_numbers, _core_numbers_sql(20)),
-        "min_cover": (q_min_cover, _min_cover_sql(14)),
+        # 45 rounds: the greedy serializes on dense tied neighborhoods
+        # (sf0.001's min2 graph needs 40; sf0.01 converges by 14) —
+        # extra rounds of a converged fixpoint are no-ops, so the
+        # larger unroll is safe at every scale
+        "min_cover": (q_min_cover, _min_cover_sql(45)),
         "min_dominating": (q_min_dominating, _min_dominating_sql(14)),
         "three_path": (q_three_path, _THREE_PATH_SQL),
         "tailed_tri": (q_tailed_tri, _TAILED_TRI_SQL),

@@ -96,7 +96,7 @@ CASES = {
         lambda: E._core_numbers_sql(21),
     ),
     "min_cover": (
-        lambda: E._min_cover_sql(14), lambda: E._min_cover_sql(15)
+        lambda: E._min_cover_sql(45), lambda: E._min_cover_sql(46)
     ),
     "min_dominating": (
         lambda: E._min_dominating_sql(14),
