@@ -141,6 +141,52 @@ def main() -> None:
 
     timed2("triangles", _tri_aqe_off)
 
+    # -- 10x scale leg: flagships on a ~12M-edge synthetic power-law
+    # graph.  The sf0.1 co-order graph is 1.2M edges and fully
+    # cache/L3-resident everywhere; this leg shows past-cache behavior
+    # so round-over-round comparisons can't be won by cache effects.
+    # Skippable with SPARK_GRAFT_BIG=0 for quick iteration.
+    big_stats: dict = {}
+    if os.environ.get("SPARK_GRAFT_BIG", "1") != "0":
+        from graphscope_spark.sources.synthetic import gen_powerlaw_edges_df
+
+        t0 = time.time()
+        big_m, big_n = 12_000_000, 1_200_000
+        gb = Graph.from_edges(
+            gen_powerlaw_edges_df(spark, big_m, big_n), directed=True
+        )
+        gb.edges = gb.edges.persist()
+        n_big_edges = gb.edges.count()
+        gb.adjacency("out").count()
+        gb.out_degrees().persist().count()
+        timings["big_graph_build"] = time.time() - t0
+
+        timed2("big_pagerank",
+               lambda: pagerank(gb, alpha=0.85, max_iter=PR_ROUNDS,
+                                tol=0.0).agg(F.sum("rank")).collect())
+        timed2("big_wcc",
+               lambda: wcc(gb).agg(F.countDistinct("comp")).collect())
+        timed2("big_cdlp",
+               lambda: cdlp(gb.undirected(), max_round=10)
+               .agg(F.countDistinct("label")).collect())
+
+        def _big_tri():
+            from graphscope_spark.plans.adaptive import superstep_conf
+
+            with superstep_conf(spark, False):
+                triangles(gb).agg(F.sum("tricnt")).collect()
+
+        timed2("big_triangles", _big_tri)
+        big_stats = {
+            "edges": int(n_big_edges),
+            "vertices": big_n,
+            "pagerank_edges_per_sec_per_superstep": round(
+                n_big_edges * PR_ROUNDS / timings["big_pagerank"]
+            ),
+        }
+        gb.unpersist()
+        gb.edges.unpersist()
+
     # -- training-data pipeline ops over the documents table at this sf
     from graphscope_spark.functions.dedup import minhash_dedup_pairs
     from graphscope_spark.functions.text import text_stats
@@ -197,6 +243,7 @@ def main() -> None:
         "pagerank_supersteps_to_1e6": conv_stats.get("rounds"),
         "documents": {"rows": n_docs, "minhash_dup_pairs": n_dups,
                       "contaminated": n_contam, "packed_bins": n_bins},
+        "big_graph": big_stats,
         "mined_graph": {
             "edges": n_mined_edges,
             "supersteps_to_1e6": mined_stats.get("rounds"),

@@ -1134,6 +1134,58 @@ def _apsp_sample_sql(rounds: int = 5) -> str:
     )
 
 
+def q_apsp_full(spark, sf_dir):
+    """EXACT all-pairs shortest path lengths over EVERY source of its
+    input graph — un-sampled
+    ``apps/apsp/all_pairs_shortest_path_length.h:144`` semantics — run
+    in landmark batches (``batch_count=4`` here to exercise the
+    batching; batching never changes results).  The input graph is the
+    ``id % 3 == 0`` induced subgraph of the co-order graph: APSP is
+    |V|²-output by definition, so the driver-compared instance is kept
+    at a size whose unrolled SQL oracle stays tractable — the
+    ALL-sources semantics (the thing ``apsp_sample`` lacks) is what's
+    under test, and full-graph pair-level parity is pytest-covered in
+    ``tests/test_round4_ops.py``.  Output is the per-source rollup
+    ``(source, reached, sum_dist, ecc)``."""
+    from graphscope_spark.operators.traversal import apsp_full_lengths
+
+    g = part_graph_undirected(spark, sf_dir)
+    sub = g.induce_subgraph(g.vertices.where(F.col("id") % 3 == 0))
+    # edge table is already symmetric (part_graph_undirected)
+    d = apsp_full_lengths(sub, batch_count=4, symmetrize=False)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("reached"),
+        F.sum("dist").cast("long").alias("sum_dist"),
+        F.max("dist").cast("long").alias("ecc"),
+    )
+
+
+def _apsp_full_sql(rounds: int = 10) -> str:
+    parts = [
+        _G,
+        "subv AS (SELECT id FROM verts WHERE id % 3 = 0)",
+        "subsym AS (SELECT e.src, e.dst FROM sym e\n"
+        "           JOIN subv a ON a.id = e.src"
+        " JOIN subv b ON b.id = e.dst)",
+        "f0 AS (SELECT id AS source, id, 0 AS dist FROM subv)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"f{k + 1} AS (SELECT source, id, min(dist) AS dist FROM (\n"
+            f"          SELECT source, id, dist FROM f{k}\n"
+            f"          UNION ALL\n"
+            f"          SELECT f.source, e.dst AS id, f.dist + 1 AS dist\n"
+            f"          FROM f{k} f JOIN subsym e ON e.src = f.id)"
+            f" GROUP BY source, id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT source, count(*)::BIGINT AS reached,"
+        f" sum(dist)::BIGINT AS sum_dist, max(dist)::BIGINT AS ecc\n"
+        f"FROM f{rounds} GROUP BY source"
+    )
+
+
 def q_sssp_avg_length(spark, sf_dir):
     """Mean weighted shortest-path length over the source sample
     id % 31 == 0 (self-pairs excluded) — reference
@@ -1243,6 +1295,77 @@ def _kcore_sql(k: int = 80, rounds: int = 20) -> str:
         f"FROM verts v LEFT JOIN (SELECT DISTINCT src AS id FROM al{rounds})"
         f" c ON c.id = v.id"
     )
+
+
+def q_prop_project(spark, sf_dir):
+    """Labeled property-graph projection (reference
+    ``arrow_projected_fragment.h:696-744`` /
+    ``framework/graph.py:254-308``): vertex label ``part`` with
+    property ``p_retailprice``, edge label ``co2`` (co-order pairs in
+    ≥2 distinct orders) with the co-order count as edge property →
+    ``project('part', 'co2', vprop, eprop)`` → weighted simple graph;
+    output = weighted degree (strength) per part plus the carried
+    vertex property.  Exercises that apps consume projections, not the
+    label catalog."""
+    from graphscope_spark.property_graph import PropertyGraph
+
+    part = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), "p_retailprice"
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    lists = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pairs = (
+        lists.select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ps,"
+                    " x -> transform(ps, y -> struct(x as src, y as dst)))),"
+                    " p -> p.src < p.dst)"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+    )
+    wedges = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+    )
+    pg = PropertyGraph(directed=False)
+    pg.add_vertices(part, "part")
+    pg.add_edges(wedges, "co2", "part", "part")
+    g = pg.project("part", "co2", vprop="p_retailprice", eprop="c")
+    strength = g.symmetrized_edges().groupBy(
+        F.col("src").alias("id")
+    ).agg(F.sum("weight").alias("s"))
+    return (
+        g.vertices.join(strength, "id", "left")
+        .select(
+            "id",
+            F.coalesce("s", F.lit(0.0)).cast("long").alias("strength"),
+            F.round("p_retailprice", 2).alias("price"),
+        )
+    )
+
+
+def _prop_project_sql() -> str:
+    return """\
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+pair1 AS (SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS src,
+                 b.l_partkey AS dst
+          FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+wedges AS (SELECT src, dst, c FROM (
+           SELECT src, dst, count(*) AS c FROM pair1 GROUP BY src, dst)
+           WHERE c >= 2),
+wsym AS (SELECT src, dst, c FROM wedges
+         UNION ALL SELECT dst AS src, src AS dst, c FROM wedges),
+st AS (SELECT src AS id, sum(c) AS s FROM wsym GROUP BY src)
+SELECT p.p_partkey AS id, coalesce(st.s, 0)::BIGINT AS strength,
+       round(p.p_retailprice, 2) AS price
+FROM part p LEFT JOIN st ON st.id = p.p_partkey"""
 
 
 def q_khop2(spark, sf_dir):
@@ -3746,14 +3869,21 @@ def q_rel_union_intersect(spark, sf_dir):
 #: already carry two rounds of green driver rows (the rel_* GIE demos
 #: and fixed-round centralities).
 _REGISTRY_ORDER = [
-    # flagships (tri_count, bfs, sssp — all two-rounds driver-green —
-    # rotate to the tail so every never-verified / round-3-changed
-    # entry fits the driver's 50-query window)
-    "pagerank",
-    # LLM-pipeline + tail entries the driver never reached in round 2
-    "dedup_exact", "minhash_groups", "ngram_jaccard", "embedding_near_dup",
-    "minhash_lsh", "simhash", "embedding_topk", "text_stats", "lang_id",
-    "doc_fingerprint", "khop2", "rel_semijoin",
+    # flagships: pagerank always first; wcc pulled BACK into the
+    # window this round because its operator changed (warm-start
+    # guard) — the rule is: any query whose underlying operator
+    # changed in the current round sits inside the driver's first-50
+    # verification window, regardless of prior green rounds
+    "pagerank", "wcc",
+    # new or operator-changed in round 4: full APSP (landmark
+    # batches), property-graph projection, single-action-per-round
+    # eigenvector/HITS, and the dedup family whose LSH banding gained
+    # the no-shingle anti-join + bucket cap (output-identical, but
+    # the plan changed → re-verify)
+    "apsp_full", "prop_project", "eigenvector10", "hits",
+    "minhash_groups", "minhash_lsh", "embedding_near_dup",
+    "ngram_jaccard", "dedup_exact",
+    "embedding_topk", "rel_semijoin",
     # new in round 3
     "bridges", "cut_points", "bcc", "msf", "core_numbers", "bfs_pred",
     "bfs_succ",
@@ -3775,10 +3905,14 @@ _REGISTRY_ORDER = [
     "harmonic_sample", "diameter_approx", "densest_sub",
     "clustering_directed", "apsp_sample", "sssp_path", "sssp_has_path",
     "sssp_avg_length", "lpa_u2i", "rect_count",
-    # ---- position 51+: stable two-round-green entries ----
-    "wcc", "cdlp", "triangles", "tri_count", "bfs", "sssp",
-    "tri_census", "k4_count", "core_numbers_k3", "eigenvector10",
-    "katz10", "hits", "degree_centrality", "avg_degree_connectivity",
+    # ---- position 51+: stable driver-green entries, untouched this
+    # round (rotated out in r4: text_stats/lang_id/doc_fingerprint/
+    # simhash/khop2 — r3-green pure column-expression queries with
+    # pytest coverage and no r4 code changes) ----
+    "text_stats", "lang_id", "doc_fingerprint", "simhash", "khop2",
+    "cdlp", "triangles", "tri_count", "bfs", "sssp",
+    "tri_census", "k4_count", "core_numbers_k3",
+    "katz10", "degree_centrality", "avg_degree_connectivity",
     "avg_clustering", "transitivity", "assortativity", "boundary",
     "rel_group_agg", "rel_join_topk", "rel_dedup", "rel_antijoin",
     "rel_window_topk", "rel_apply", "rel_sample", "rel_union_intersect",
@@ -3961,6 +4095,8 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "sssp_has_path": (q_sssp_has_path, _sssp_has_path_sql(10)),
         "sssp_avg_length": (q_sssp_avg_length, _sssp_avg_length_sql(8)),
         "apsp_sample": (q_apsp_sample, _apsp_sample_sql(5)),
+        "apsp_full": (q_apsp_full, _apsp_full_sql(10)),
+        "prop_project": (q_prop_project, _prop_project_sql()),
         "hits": (q_hits, _hits_sql(10)),
         "kcore": (q_kcore, _kcore_sql(80, 20)),
         "khop2": (q_khop2, _KHOP2_SQL),

@@ -167,10 +167,22 @@ def lsh_candidate_pairs(
     bands: int = 4,
     rows_per_band: int = 3,
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs ``(id_a, id_b)`` sharing at least one
     LSH band bucket (id_a < id_b).  Band bucket = h60 of the band's
-    concatenated signature slice."""
+    concatenated signature slice.
+
+    ``max_bucket_size`` drops (band, bucket) groups holding more than
+    that many docs before the self-join — the skew guard mirroring
+    ``ngram_jaccard_pairs``'s ``max_shingle_df``: a bucket of k docs
+    emits k²/2 candidate pairs, so one pathological bucket (e.g.
+    boilerplate-identical signatures on a web corpus) dominates the
+    join.  None keeps all buckets (exact LSH recall, used when an
+    oracle must match).  Callers should also exclude no-shingle docs
+    BEFORE banding (``minhash_dedup_pairs`` does) — the sentinel
+    signature of :func:`minhash_signatures` is identical for every
+    empty doc, i.e. one quadratic bucket per band."""
     per_band = []
     for b in range(bands):
         cols = [
@@ -185,6 +197,14 @@ def lsh_candidate_pairs(
     buckets = per_band[0]
     for p in per_band[1:]:
         buckets = buckets.unionByName(p)
+    if max_bucket_size is not None:
+        hot = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .where(F.col("k") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(hot, ["band", "bucket"], "left_anti")
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b_ = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (
@@ -203,14 +223,29 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures → band buckets →
     candidates → verify true Jaccard ≥ threshold on candidates only.
-    Returns ``(id_a, id_b, jaccard)``."""
+    Returns ``(id_a, id_b, jaccard)``.
+
+    No-shingle (sub-n-gram) docs are anti-joined out BEFORE banding:
+    they all share the identical sentinel signature, so on a corpus
+    with k such docs every band would hold one k-sized bucket →
+    ~k²/2 candidate pairs that Jaccard-verify to nothing.  Dropping
+    them is lossless — a doc with no shingles has Jaccard 0 with
+    everything — and turns a latent quadratic blowup into a semi-join.
+    The verified OUTPUT is therefore identical with or without the
+    filter, which keeps the SQL oracle exact."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, n, id_col, text_col)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band, id_col)
     sh = word_shingles(df, n, id_col, text_col).persist()
+    nonempty = sh.select(F.col(id_col)).distinct()
+    sigs = minhash_signatures(df, num_hashes, n, id_col, text_col).join(
+        nonempty, id_col, "left_semi"
+    )
+    cands = lsh_candidate_pairs(
+        sigs, bands, rows_per_band, id_col, max_bucket_size
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cands.join(

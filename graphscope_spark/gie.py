@@ -30,10 +30,16 @@ class Traversal:
     in column ``id`` (vertices) or ``src/dst`` (edges), plus any
     retained vertex property columns."""
 
-    def __init__(self, graph: Graph, df: DataFrame, kind: str):
+    def __init__(
+        self, graph: Graph, df: DataFrame, kind: str, anchor: str = "src"
+    ):
         self._g = graph
         self._df = df
         self._kind = kind  # "v" | "e"
+        # For edge traversals: which endpoint column the current
+        # traverser vertex sits on ("src" after outE/bothE, "dst"
+        # after inE) — otherV() steps to the opposite endpoint.
+        self._anchor = anchor
 
     # ---------------------------------------------------------- filters
     def has(self, column: str, value=None) -> "Traversal":
@@ -45,16 +51,23 @@ class Traversal:
             pred = F.col(column).isNotNull()
         else:
             pred = F.col(column) == F.lit(value)
-        return Traversal(self._g, self._df.where(pred), self._kind)
+        return Traversal(
+            self._g, self._df.where(pred), self._kind, self._anchor
+        )
 
     def hasId(self, *ids) -> "Traversal":
-        key = "id" if self._kind == "v" else "src"
+        key = "id" if self._kind == "v" else self._anchor
         return Traversal(
-            self._g, self._df.where(F.col(key).isin(*ids)), self._kind
+            self._g,
+            self._df.where(F.col(key).isin(*ids)),
+            self._kind,
+            self._anchor,
         )
 
     def where_(self, pred: Column) -> "Traversal":
-        return Traversal(self._g, self._df.where(pred), self._kind)
+        return Traversal(
+            self._g, self._df.where(pred), self._kind, self._anchor
+        )
 
     # ------------------------------------------------------------- hops
     def _hop(self, edges: DataFrame, from_col: str, to_col: str):
@@ -92,40 +105,48 @@ class Traversal:
         e = self._df.select(F.col("id").alias("src")).join(
             self._g.edges, "src"
         )
-        return Traversal(self._g, e, "e")
+        return Traversal(self._g, e, "e", anchor="src")
 
     def inE(self) -> "Traversal":
         assert self._kind == "v"
         e = self._df.select(F.col("id").alias("dst")).join(
             self._g.edges, "dst"
         )
-        return Traversal(self._g, e, "e")
+        return Traversal(self._g, e, "e", anchor="dst")
 
     def bothE(self) -> "Traversal":
         assert self._kind == "v"
         e = self._df.select(F.col("id").alias("src")).join(
             self._g.symmetrized_edges(), "src"
         )
-        return Traversal(self._g, e, "e")
+        return Traversal(self._g, e, "e", anchor="src")
 
     def otherV(self) -> "Traversal":
+        """Step to the endpoint OPPOSITE the anchored one: after
+        ``inE()`` the traverser sits on ``dst``, so otherV is the
+        incoming edge's ``src``; after ``outE()``/``bothE()`` it's
+        ``dst``."""
         assert self._kind == "e", "otherV steps off an edge traversal"
+        other = "src" if self._anchor == "dst" else "dst"
         return Traversal(
-            self._g, self._df.select(F.col("dst").alias("id")), "v"
+            self._g, self._df.select(F.col(other).alias("id")), "v"
         )
 
     # ----------------------------------------------------------- shape
     def dedup(self) -> "Traversal":
-        return Traversal(self._g, self._df.distinct(), self._kind)
+        return Traversal(
+            self._g, self._df.distinct(), self._kind, self._anchor
+        )
 
     def limit(self, n: int) -> "Traversal":
         # deterministic: Gremlin's limit is arbitrary-order; ours
         # orders by element key so reruns agree
-        key = "id" if self._kind == "v" else "src"
+        key = "id" if self._kind == "v" else self._anchor
         return Traversal(
             self._g,
             self._df.orderBy(key).limit(n),
             self._kind,
+            self._anchor,
         )
 
     def repeat(self, step: str, times: int) -> "Traversal":
@@ -142,7 +163,7 @@ class Traversal:
     def groupCount(self) -> DataFrame:
         """Gremlin ``groupCount()``: traverser multiplicity per
         element — ``(id, n)``."""
-        key = "id" if self._kind == "v" else "src"
+        key = "id" if self._kind == "v" else self._anchor
         return self._df.groupBy(key).agg(
             F.count(F.lit(1)).cast("long").alias("n")
         )
@@ -164,7 +185,7 @@ class Traversal:
         return self._df
 
     def toList(self) -> list:
-        key = "id" if self._kind == "v" else "src"
+        key = "id" if self._kind == "v" else self._anchor
         return [r[0] for r in self._df.orderBy(key).collect()]
 
     def path(self) -> DataFrame:

@@ -74,6 +74,7 @@ def _eigenvector_loop(graph, max_iter, tol):
     state = graph.vertices.select("id", F.lit(1.0 / n).alias("x")).localCheckpoint(
         eager=True
     )
+    pinned = None  # the persisted frame backing `state`, for unpersist
     for it in range(max_iter):
         msum = (
             edges.join(state.withColumnRenamed("id", "src"), "src")
@@ -81,24 +82,32 @@ def _eigenvector_loop(graph, max_iter, tol):
             .agg(F.sum("x").alias("m"))
         )
         # x' = x + A^T x (the +x keeps periodic graphs converging, as
-        # NetworkX does); then L2 normalize
-        nxt = (
-            state.join(msum, "id", "left")
-            .select("id", (F.col("x") + F.coalesce("m", F.lit(0.0))).alias("x"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        # NetworkX does); then L2 normalize.  The norm is a broadcast
+        # one-row subaggregate instead of a driver collect, so norm +
+        # normalized state + L1 delta all evaluate in ONE driver
+        # action per round (same single-action shape as pagerank's
+        # combined L1+dangling agg, ``pagerank.py``).
+        raw = state.join(msum, "id", "left").select(
+            "id",
+            F.col("x").alias("old"),
+            (F.col("x") + F.coalesce("m", F.lit(0.0))).alias("nx"),
         )
-        norm = nxt.agg(F.sqrt(F.sum(F.col("x") * F.col("x")))).collect()[0][0] or 1.0
-        nxt2 = nxt.select("id", (F.col("x") / norm).alias("x"))
+        norm1 = raw.agg(
+            F.sqrt(F.sum(F.col("nx") * F.col("nx"))).alias("norm")
+        ).select(F.coalesce(F.nullif("norm", F.lit(0.0)), F.lit(1.0)).alias("norm"))
+        nxt2 = (
+            raw.crossJoin(F.broadcast(norm1))
+            .select("id", (F.col("nx") / F.col("norm")).alias("x"), "old")
+        )
         nxt2 = (nxt2.localCheckpoint(eager=True) if it % 3 == 2
                 else nxt2.persist(StorageLevel.MEMORY_AND_DISK))
         delta = (
-            nxt2.withColumnRenamed("x", "nx")
-            .join(state, "id")
-            .agg(F.sum(F.abs(F.col("nx") - F.col("x"))))
-            .collect()[0][0]
+            nxt2.agg(F.sum(F.abs(F.col("x") - F.col("old")))).collect()[0][0]
         )
-        state.unpersist()
-        state = nxt2
+        if pinned is not None:
+            pinned.unpersist()
+        pinned = nxt2
+        state = nxt2.select("id", "x")
         if delta < n * tol:
             break
     return state.select("id", F.col("x").alias("ec"))
@@ -171,9 +180,14 @@ def _hits_loop(graph, max_iter, tol):
         eager=True
     )
     auth = None
+    pinned: list = []  # persisted frames backing hub/auth, for unpersist
     for it in range(max_iter):
-        # auth(v) = Σ_{u→v} hub(u)
-        a = (
+        # auth(v) = Σ_{u→v} hub(u), max-normalized.  The per-round max
+        # normalizers are broadcast one-row subaggregates instead of
+        # driver collects: auth-max, hub-max, and the hub L1 delta all
+        # evaluate in ONE driver action per round (the delta collect
+        # at the end) — one round-trip, not three.
+        a_raw = (
             verts
             .join(
                 edges.join(hub.withColumnRenamed("id", "src"), "src")
@@ -183,14 +197,17 @@ def _hits_loop(graph, max_iter, tol):
                 "left",
             )
             .select("id", F.coalesce("auth", F.lit(0.0)).alias("auth"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        amax = a.agg(F.max("auth")).collect()[0][0] or 1.0
-        a = a.select("id", (F.col("auth") / amax).alias("auth"))
+        amax = a_raw.agg(F.max("auth").alias("amax")).select(
+            F.coalesce(F.nullif("amax", F.lit(0.0)), F.lit(1.0)).alias("amax")
+        )
+        a = a_raw.crossJoin(F.broadcast(amax)).select(
+            "id", (F.col("auth") / F.col("amax")).alias("auth")
+        )
         a = (a.localCheckpoint(eager=True) if it % 3 == 2
              else a.persist(StorageLevel.MEMORY_AND_DISK))
-        # hub(u) = Σ_{u→v} auth(v)
-        h = (
+        # hub(u) = Σ_{u→v} auth(v), max-normalized
+        h_raw = (
             verts
             .join(
                 edges.join(a.withColumnRenamed("id", "dst"), "dst")
@@ -200,10 +217,13 @@ def _hits_loop(graph, max_iter, tol):
                 "left",
             )
             .select("id", F.coalesce("hub", F.lit(0.0)).alias("hub"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        hmax = h.agg(F.max("hub")).collect()[0][0] or 1.0
-        h = h.select("id", (F.col("hub") / hmax).alias("hub"))
+        hmax = h_raw.agg(F.max("hub").alias("hmax")).select(
+            F.coalesce(F.nullif("hmax", F.lit(0.0)), F.lit(1.0)).alias("hmax")
+        )
+        h = h_raw.crossJoin(F.broadcast(hmax)).select(
+            "id", (F.col("hub") / F.col("hmax")).alias("hub")
+        )
         h = (h.localCheckpoint(eager=True) if it % 3 == 2
              else h.persist(StorageLevel.MEMORY_AND_DISK))
         delta = (
@@ -211,7 +231,9 @@ def _hits_loop(graph, max_iter, tol):
             .agg(F.sum(F.abs(F.col("hub") - F.col("old"))))
             .collect()[0][0]
         )
-        hub.unpersist()
+        for p in pinned:
+            p.unpersist()
+        pinned = [a, h]
         hub, auth = h, a
         if delta < tol:
             break

@@ -166,40 +166,59 @@ def louvain(graph: Graph, levels: int = 2, rounds: int = 4) -> DataFrame:
     repeat on the contracted graph, and map final communities back to
     the original vertices.  ``(id, community)``.
 
-    The contraction is one aggregation over the edge table (edges
-    relabeled by endpoint community, self-loops dropped for the
-    unweighted gain recomputation at the next level), so each level
-    costs strictly less than the previous one — the graph shrinks to
-    |communities| vertices.
+    The contraction is one aggregation over the CURRENT level's
+    weighted edge table (edges relabeled by that level's community
+    assignment, cross-community weights summed, intra-community
+    weights folded into per-super-vertex self weights together with
+    the members' carried self weights), so the weighted multigraph —
+    not an unweighted simplification — flows through every level and
+    each level costs strictly less than the previous one: the graph
+    shrinks to |communities| vertices.
     """
     mapping = louvain_one_level(graph, rounds=rounds)
+    # Per-level state: the current level's weighted symmetric edge
+    # table, per-vertex self weights, and THIS level's id→community
+    # map (relabeling must use the level-local map — the cumulative
+    # original-id `mapping` keys don't name super-vertices).
+    cur_sym = graph.symmetrized_edges().select(
+        "src", "dst", F.lit(1).cast("long").alias("w")
+    )
+    cur_self: DataFrame | None = None
+    cur_map = mapping
     for _ in range(1, levels):
-        m_src = mapping.select(
+        m_src = cur_map.select(
             F.col("id").alias("src"), F.col("community").alias("csrc")
         )
-        m_dst = mapping.select(
+        m_dst = cur_map.select(
             F.col("id").alias("dst"), F.col("community").alias("cdst")
         )
-        relabeled = (
-            graph.symmetrized_edges()
-            .select("src", "dst")
-            .join(m_src, "src")
-            .join(m_dst, "dst")
-        )
+        relabeled = cur_sym.join(m_src, "src").join(m_dst, "dst")
         contracted = (
             relabeled.where(F.col("csrc") != F.col("cdst"))
             .groupBy(
                 F.col("csrc").alias("src"), F.col("cdst").alias("dst")
             )
-            .agg(F.count(F.lit(1)).cast("long").alias("w"))
+            .agg(F.sum("w").cast("long").alias("w"))
         )
         # internal weight: both directions of each intra-community
-        # edge — exactly what 2m accounting needs
+        # edge (exactly what 2m accounting needs) PLUS the members'
+        # own carried self weights from deeper levels
         self_w = (
             relabeled.where(F.col("csrc") == F.col("cdst"))
             .groupBy(F.col("csrc").alias("id"))
-            .agg(F.count(F.lit(1)).cast("long").alias("sw"))
+            .agg(F.sum("w").cast("long").alias("sw"))
         )
+        if cur_self is not None:
+            carried = (
+                cur_self.join(cur_map, "id")
+                .groupBy(F.col("community").alias("id"))
+                .agg(F.sum("sw").cast("long").alias("sw"))
+            )
+            self_w = (
+                self_w.unionByName(carried)
+                .groupBy("id")
+                .agg(F.sum("sw").cast("long").alias("sw"))
+            )
         if contracted.isEmpty():
             break
         super_g = Graph.from_edges(
@@ -223,7 +242,7 @@ def louvain(graph: Graph, levels: int = 2, rounds: int = 4) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        graph = super_g  # next contraction starts from the super graph
+        cur_sym, cur_self, cur_map = contracted, self_w, super_map
     return mapping
 
 

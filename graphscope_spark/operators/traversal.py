@@ -424,3 +424,52 @@ def apsp_lengths(
         symmetrize=symmetrize,
     )
     return d.select("source", "id", F.col("dist").cast("long").alias("dist"))
+
+
+def apsp_full_lengths(
+    graph: Graph,
+    batch_size: int = 50_000,
+    batch_count: int | None = None,
+    symmetrize: bool | None = None,
+) -> DataFrame:
+    """EXACT unweighted APSP over EVERY source — the un-sampled
+    semantics of ``apps/apsp/all_pairs_shortest_path_length.h:144``
+    (per-source BFS depth, all sources) — as landmark BATCHES of
+    :func:`multi_source_sssp`.  Returns ``(source, id, dist long)``,
+    reached pairs only.
+
+    **Memory knob**: peak superstep state is ``|batch| × reach``
+    (source, id, dist) rows instead of ``|V|²`` — ``batch_size``
+    bounds it (``batch_count`` overrides directly).  Sources are
+    assigned to batches by ``id % batch_count`` — a map-side predicate,
+    never a driver-side collect of the vertex set — so the loop is
+    ``batch_count`` sequential multi-source floods, each one shuffle
+    per superstep regardless of batch width.  The per-batch results
+    union lazily with a hard lineage cut every few batches (the
+    chained-localCheckpoint cliff, see ``plans/checkpoint.py``).
+
+    At 100 TB-class graphs exact APSP is |V|² output and inherently a
+    batch job; this shape lets the caller trade wall-clock for memory
+    and write each batch's output to the sink incrementally.
+    """
+    import math as _math
+
+    if symmetrize is None:
+        # undirected graphs may store only one direction per edge;
+        # callers whose edge table is ALREADY symmetric pass False
+        symmetrize = not graph.directed
+    if batch_count is None:
+        n = graph.vertices.count()
+        batch_count = max(1, _math.ceil(n / batch_size))
+    out: DataFrame | None = None
+    for b in range(batch_count):
+        srcs = graph.vertices.select("id").where(
+            F.pmod(F.col("id"), F.lit(batch_count)) == b
+        )
+        d = multi_source_sssp(
+            graph, srcs, weight_col="__hop__", symmetrize=symmetrize
+        ).select("source", "id", F.col("dist").cast("long").alias("dist"))
+        out = d if out is None else out.unionByName(d)
+        if batch_count > 1 and (b + 1) % 4 == 0:
+            out = out.localCheckpoint(eager=True)
+    return out

@@ -49,6 +49,16 @@ def wcc(
     converges to the true new minimum — unchanged regions settle in
     one round.
 
+    **Insert-only contract**: the warm start is correct only for
+    grow-only graphs (edges/vertices added, never removed) — min
+    propagation can lower a label but never raise one, so after a
+    deletion a stale too-small label would persist forever.  Labels
+    pointing at vertices absent from the current graph are dropped
+    here (those vertices fall back to cold-start ``comp = id``); a
+    deletion that leaves the labeled vertex present cannot be detected
+    cheaply, so the caller must not feed compacted/delete-containing
+    edge logs (see ``streaming.edge_stream.incremental_wcc``).
+
     ``adaptive=False`` pins AQE off for the loop (restored after): the
     superstep plan is fixed-shape and already min-combined map-side,
     and per-round adaptive re-planning measured ~3x slower at sf0.1
@@ -78,9 +88,15 @@ def _wcc_loop(
         state = checkpoint.load_state(graph.vertices.sparkSession, latest)
         start_step = latest + 1
     elif init_labels is not None:
-        state = graph.vertices.select("id").join(
-            init_labels.select("id", F.col("comp").alias("c0")), "id", "left"
-        ).select("id", F.coalesce("c0", F.col("id")).alias("comp"))
+        # guard: only labels that name a vertex of the CURRENT graph
+        # are trusted (a label pointing at a removed vertex would be a
+        # permanently-stale minimum); others cold-start at comp = id.
+        valid = init_labels.select("id", F.col("comp").alias("c0")).join(
+            graph.vertices.select(F.col("id").alias("c0")), "c0", "left_semi"
+        )
+        state = graph.vertices.select("id").join(valid, "id", "left").select(
+            "id", F.coalesce("c0", F.col("id")).alias("comp")
+        )
     else:
         state = graph.vertices.select("id", F.col("id").alias("comp"))
     state = state.persist(StorageLevel.MEMORY_AND_DISK)

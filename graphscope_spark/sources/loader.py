@@ -57,11 +57,17 @@ def load_graph(
     src_col: str = "src",
     dst_col: str = "dst",
     directed: bool = True,
+    vertex_options: dict | None = None,
     **options,
 ):
     """Reference ``session.load_from(edges=…, vertices=…)`` analog:
     load edge (and optional vertex) tables through :func:`load_table`
-    and assemble a :class:`..graph.Graph`."""
+    and assemble a :class:`..graph.Graph`.
+
+    ``**options`` (delimiter / header_row / column_types) apply to the
+    EDGE table only; pass ``vertex_options={...}`` for the vertex
+    table — the two tables rarely share a schema, and silently reusing
+    edge ``column_types`` on the vertex side mistypes it."""
     from pyspark.sql import functions as F
 
     from ..graph import Graph
@@ -73,7 +79,7 @@ def load_graph(
     )
     v = None
     if vertices is not None:
-        v = load_table(spark, vertices, **options)
+        v = load_table(spark, vertices, **(vertex_options or {}))
         if "id" not in v.columns:
             v = v.withColumnRenamed(v.columns[0], "id")
     return Graph.from_edges(e, directed=directed, vertices=v)

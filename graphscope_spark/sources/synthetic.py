@@ -1,9 +1,13 @@
 """Deterministic synthetic inputs (FIXTURES.md §1-2).
 
-Two generators, both seeded and pure-Python-deterministic:
+Three generators, all seeded and deterministic:
 
 - ``gen_edges``: LDBC-p2p-like directed graphs (random + preferential
-  attachment so hub-vertex skew paths are exercised);
+  attachment so hub-vertex skew paths are exercised) — pure Python,
+  for tests;
+- ``gen_powerlaw_edges_df``: DISTRIBUTED power-law graph built from
+  ``spark.range`` + hash expressions (no driver loops) — for the
+  at-scale bench legs (``bench.py`` big leg, ``jobs/*_job.py``);
 - ``gen_code_table``: the source-code repository table
   ``(repo, path, commit, lang, content)`` per BASELINE.json:input_hint,
   whose files embed cross-repo import statements drawn from a Zipf
@@ -51,6 +55,33 @@ def gen_edges(
         edges.add((u, v))
         targets.append(v)
     return vertices, sorted(edges)
+
+
+def gen_powerlaw_edges_df(
+    spark, m: int, n: int, k: float = 3.0, seed: int = 42
+):
+    """Deterministic power-law-ish directed graph, generated
+    DISTRIBUTED (``spark.range`` + hash expressions — generation
+    itself scales with the cluster, no driver loops): src uniform over
+    [0, n); ``dst = floor(n · u^k)`` with u uniform from a hash, so
+    in-degree concentrates on low ids (hub skew like a real link
+    graph; larger ``k`` = hotter hubs — the top vertex takes
+    ~``(1/n)^(1/k)`` of all edges).  Self-loops dropped.  Same
+    construction as ``jobs/pagerank_job.py``'s scaling-bench input."""
+    from pyspark.sql import functions as F
+
+    e = spark.range(m).select(
+        F.pmod(F.xxhash64(F.col("id") + seed), n).alias("src"),
+        F.floor(
+            n
+            * F.pow(
+                F.pmod(F.xxhash64(F.col("id") + seed + 1), 1 << 20)
+                / float(1 << 20),
+                k,
+            )
+        ).cast("long").alias("dst"),
+    )
+    return e.where(F.col("src") != F.col("dst"))
 
 
 def gen_weighted_edges(

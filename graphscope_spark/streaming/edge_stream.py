@@ -220,7 +220,14 @@ def incremental_wcc(
     as :func:`incremental_pagerank`, warm-started from the previous
     labeling — every old label is a vertex id inside its component,
     so min-label propagation over the grown graph converges to the
-    new minima with unchanged regions settling in one round."""
+    new minima with unchanged regions settling in one round.
+
+    **Insert-only contract** (see ``operators.wcc.wcc``): the edge log
+    this stream appends to must be grow-only — no deletes, no
+    compaction that drops edges — or the warm-start labels can be
+    stale minima that min-propagation can never raise.  After any
+    delete/compaction, remove the saved labeling so the next batch
+    cold-starts."""
     from ..graph import Graph
     from ..operators.wcc import wcc
 

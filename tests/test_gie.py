@@ -75,3 +75,15 @@ def test_repeat_and_group_count(spark):
           for r in g.V(0, 1).out().groupCount().collect()}
     # {0,1} -out-> bag {1, 2, 2}
     assert gc == {1: 1, 2: 2}
+
+
+def test_inE_otherV_anchor(spark):
+    g = traversal(_g(spark))
+    # 2's incoming edges are 1→2 and 0→2; otherV() must return the
+    # OPPOSITE endpoint (the sources), not 2 itself
+    assert sorted(g.V(2).inE().otherV().toList()) == [0, 1]
+    # and symmetrically outE().otherV() stays the destinations
+    assert sorted(g.V(2).outE().otherV().toList()) == [3]
+    # hasId on an edge traversal filters the ANCHORED endpoint
+    assert g.V().inE().hasId(2).count() == 2  # edges INTO 2
+    assert g.V().outE().hasId(0).count() == 2  # edges OUT of 0

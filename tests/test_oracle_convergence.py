@@ -63,6 +63,11 @@ CASES = {
     "apsp_sample": (
         lambda: E._apsp_sample_sql(5), lambda: E._apsp_sample_sql(6)
     ),
+    # round-4: all-sources APSP on the induced id%3 subgraph (sparser
+    # than the full co-order graph → larger diameter → deeper unroll)
+    "apsp_full": (
+        lambda: E._apsp_full_sql(10), lambda: E._apsp_full_sql(11)
+    ),
     "sssp_has_path": (
         lambda: E._sssp_has_path_sql(10),
         lambda: E._sssp_has_path_sql(11),

@@ -130,6 +130,17 @@ def main() -> None:
     check("packing: corpus window partitioned by pid",
           "windowspecdefinition(pid" in p, "")
 
+    # 7. hub-skew salting: with a salt threshold the adjacency build
+    #    must route hub keys through the two-phase (key, _salt)
+    #    aggregation (plans/skew.salted_collect_list) — deterministic
+    #    xxhash64 salt, partial lists flattened after the second agg
+    adj_salted = part_graph(spark, sf_dir).adjacency(
+        "out", cache=False, salt_threshold=1, salt_buckets=8
+    )
+    p = plan_of(adj_salted)
+    check("skew: salted two-phase collect_list engaged",
+          "pmod(xxhash64" in p and "flatten" in p, "")
+
     spark.stop()
     fails = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(fails)}/{len(CHECKS)} checks passed")
