@@ -73,14 +73,28 @@ def cosine_topk_pandas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Arrow-batched numpy variant: queries are broadcast to every
     corpus partition; each Arrow batch does ONE matmul against the
     query matrix.  Same output contract as ``cosine_topk`` (top-k is
-    taken globally afterwards; the UDF only scores)."""
+    taken globally afterwards; the UDF only scores).
+
+    The query set is collected to the driver and broadcast — correct
+    by contract (queries are the small side), with ``max_queries`` as
+    the explicit guard: beyond it the broadcast matrix stops being
+    "small" (100k × 1k floats ≈ 0.8 GB) and the caller should chunk
+    the query set or flip to a bucketed join (``cosine_lsh_pairs``)."""
     import numpy as np
     import pandas as pd
 
+    n_q = queries.count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"cosine_topk_pandas collects the query set to the driver: "
+            f"{n_q} queries > max_queries={max_queries}; chunk the "
+            f"queries or use the LSH/IVF path"
+        )
     q_rows = queries.select(query_id_col, vec_col).collect()
     q_ids = [r[0] for r in q_rows]
     qm = np.array([r[1] for r in q_rows], dtype="float64")

@@ -1,29 +1,25 @@
-"""spark-submit hub-skew A/B job: measure the message-reduction
-superstep (the PageRank ``groupBy(dst).sum`` shuffle) on a HIGH-ZIPF
-synthetic graph with and without the explicit two-phase salted
-aggregation (``plans/skew.salted_sum``).
+"""spark-submit hub-skew A/B job: measure the IN-ADJACENCY build
+(``groupBy(dst).collect_list`` — the non-algebraic aggregation where
+hub skew actually bites) on a HIGH-ZIPF synthetic graph with and
+without the two-phase salted aggregation
+(``plans/skew.salted_collect_list``), plus the algebraic-sum message
+reduction for contrast.
 
-Why this leg exists: the normal scaling bench (``run_scaling.py``)
-uses a mildly skewed graph where Spark's hash aggregation alone is
-fine; a web link graph has hubs taking 10-30%+ of all in-edges, and
-there ONE reducer task owns the hot key after the shuffle — the
-superstep's wall time becomes that straggler.  Salting splits the hot
-key across ``buckets`` reducers and recombines ``buckets`` partial
-rows per key.
+Why collect_list is the skew victim (``plans/skew.py`` rationale):
+algebraic aggs (sum/min/count) map-side combine, so a hub key arrives
+at its reducer already reduced to one row per map task and the
+straggler effect is small — measured ≈1.0x here, reported honestly.
+``collect_list`` has NO map-side combine: every one of a hub's edges
+flows to ONE reducer task, which builds the full multi-million-element
+list alone while its peers idle.  Salting bounds any reducer's fan-in
+to ~1/buckets of the hot key.
 
-Graph: ``dst = floor(n · u^k)`` with u uniform from a hash — k
-controls skew.  k=8 puts ~(1/n)^(1/8) of ALL edges on vertex 0
-(~15% at n=3M): a genuine hot key, deterministic, generated
-distributed (no driver loops).
+Graph: ``dst = floor(n · u^k)``, u uniform from a hash — k controls
+skew; k=12 puts ~(1/n)^(1/12) ≈ 29% of ALL edges on vertex 0 at
+n=3M (a crawl-graph super-hub).  Deterministic, generated distributed.
 
-The unsalted path deliberately mirrors the shipped pagerank job's
-repartition-then-combine reduction (``jobs/pagerank_job.py``): raw
-messages shuffle on the key, combination happens post-shuffle — the
-shape that wins on low-dedup uniform graphs but is maximally exposed
-to key skew.
-
-Output: ONE JSON line {edges, hot_share, unsalted_s, salted_s,
-speedup, results_equal}.
+Output: ONE JSON line with best-of-N times for each variant and
+equality of the aggregated results.
 """
 
 from __future__ import annotations
@@ -38,29 +34,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from graphscope_spark.plans.skew import salted_sum  # noqa: E402
+from graphscope_spark.plans.skew import (  # noqa: E402
+    salted_collect_list,
+    salted_sum,
+)
 from graphscope_spark.session import get_spark  # noqa: E402
-
-
-def zipf_edges(spark, m: int, n: int, k: float, seed: int = 42):
-    return spark.range(m).select(
-        F.pmod(F.xxhash64(F.col("id") + seed), n).alias("src"),
-        F.floor(
-            n
-            * F.pow(
-                F.pmod(F.xxhash64(F.col("id") + seed + 1), 1 << 20)
-                / float(1 << 20),
-                k,
-            )
-        ).cast("long").alias("dst"),
-    ).where(F.col("src") != F.col("dst"))
+from graphscope_spark.sources.synthetic import (  # noqa: E402
+    gen_powerlaw_edges_df,
+)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", type=int, default=30_000_000)
     ap.add_argument("--verts", type=int, default=3_000_000)
-    ap.add_argument("--zipf-k", type=float, default=8.0)
+    ap.add_argument("--zipf-k", type=float, default=12.0)
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
@@ -71,49 +59,87 @@ def main() -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    # materialize the message stream once (rank/deg contribution per
-    # edge) so both variants reduce the IDENTICAL cached input
-    msgs = (
-        zipf_edges(spark, args.edges, args.verts, args.zipf_k)
-        .select(F.col("dst").alias("id"),
-                (1.0 / (F.pmod(F.col("src"), 100) + 1)).alias("c"))
-        .persist()
-    )
-    m = msgs.count()
+    edges = gen_powerlaw_edges_df(
+        spark, args.edges, args.verts, k=args.zipf_k
+    ).persist()
+    m = edges.count()
     hot = (
-        msgs.groupBy("id").agg(F.count(F.lit(1)).alias("d"))
+        edges.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
         .orderBy(F.desc("d")).limit(1).collect()[0]
     )
     hot_share = hot["d"] / m
 
-    def unsalted():
-        # pagerank_job's reduction shape: raw-message shuffle on the
-        # key, post-shuffle combine — one reducer owns the hot key
+    # ---- collect_list (the adjacency build): skew victim -----------
+    def adj_unsalted():
+        return edges.groupBy(F.col("dst").alias("id")).agg(
+            F.collect_list("src").alias("nbrs")
+        )
+
+    def adj_salted():
+        return salted_collect_list(
+            edges.select(F.col("dst").alias("id"), "src"),
+            "id", "src", buckets=args.buckets, out="nbrs",
+        )
+
+    # ---- algebraic sum (message reduction): contrast ----------------
+    msgs = edges.select(
+        F.col("dst").alias("id"),
+        (1.0 / (F.pmod(F.col("src"), 100) + 1)).alias("c"),
+    )
+
+    def sum_unsalted():
+        # pagerank_job's repartition-first shape: raw messages shuffle,
+        # combine post-shuffle — fastest on low-dedup uniform graphs,
+        # maximally exposed to key skew (hot reducer owns the hub)
         return (
             msgs.repartition(n_part, "id")
             .groupBy("id").agg(F.sum("c").alias("msum"))
         )
 
-    def salted():
+    def sum_combine():
+        # plain groupBy: Spark's map-side partial agg — each map task
+        # pre-reduces the hub to ONE row, so the hot reducer sees
+        # ≤n_map_tasks rows.  The third arm isolating how much of the
+        # salted win is combine vs salt.
+        return msgs.groupBy("id").agg(F.sum("c").alias("msum"))
+
+    def sum_salted():
         return salted_sum(msgs, "id", "c", buckets=args.buckets,
                           out="msum")
 
-    def best(fn):
+    def fingerprint_adj(df):
+        return df.agg(
+            F.sum(F.size("nbrs")).alias("tot"),
+            F.count(F.lit(1)).alias("keys"),
+        ).collect()[0]
+
+    def best(fn, action):
         times = []
         for _ in range(args.repeats):
             t0 = time.time()
-            fn().agg(F.sum("msum"), F.count(F.lit(1))).collect()
+            action(fn())
             times.append(time.time() - t0)
-        return min(times), times
+        return min(times), [round(t, 3) for t in times]
 
-    # interleave a warmup of each, then timed repeats
-    unsalted().limit(1).collect()
-    salted().limit(1).collect()
-    u_best, u_all = best(unsalted)
-    s_best, s_all = best(salted)
+    adj_action = lambda df: df.agg(  # noqa: E731
+        F.sum(F.size("nbrs")), F.count(F.lit(1))
+    ).collect()
+    sum_action = lambda df: df.agg(  # noqa: E731
+        F.sum("msum"), F.count(F.lit(1))
+    ).collect()
 
-    ru = unsalted().agg(F.round(F.sum("msum"), 6)).collect()[0][0]
-    rs = salted().agg(F.round(F.sum("msum"), 6)).collect()[0][0]
+    # warm both paths once (codegen/broadcast warmup), then timed runs
+    adj_action(adj_unsalted())
+    adj_action(adj_salted())
+    au_best, au_all = best(adj_unsalted, adj_action)
+    as_best, as_all = best(adj_salted, adj_action)
+    su_best, su_all = best(sum_unsalted, sum_action)
+    sc_best, sc_all = best(sum_combine, sum_action)
+    ss_best, ss_all = best(sum_salted, sum_action)
+
+    fu, fs = fingerprint_adj(adj_unsalted()), fingerprint_adj(adj_salted())
+    ru = sum_unsalted().agg(F.sum("msum")).collect()[0][0]
+    rs = sum_salted().agg(F.sum("msum")).collect()[0][0]
 
     print(json.dumps({
         "job": "skew-ab",
@@ -123,12 +149,24 @@ def main() -> None:
         "hot_vertex_share": round(hot_share, 4),
         "shuffle_partitions": n_part,
         "buckets": args.buckets,
-        "unsalted_s": round(u_best, 3),
-        "unsalted_runs": [round(t, 3) for t in u_all],
-        "salted_s": round(s_best, 3),
-        "salted_runs": [round(t, 3) for t in s_all],
-        "speedup": round(u_best / s_best, 3),
-        "results_equal": bool(abs(ru - rs) < 1e-6),
+        "collect_list": {
+            "unsalted_s": round(au_best, 3), "unsalted_runs": au_all,
+            "salted_s": round(as_best, 3), "salted_runs": as_all,
+            "speedup": round(au_best / as_best, 3),
+            "results_equal": bool(
+                fu["tot"] == fs["tot"] and fu["keys"] == fs["keys"]
+            ),
+        },
+        "algebraic_sum": {
+            "unsalted_s": round(su_best, 3), "unsalted_runs": su_all,
+            "map_combine_s": round(sc_best, 3), "map_combine_runs": sc_all,
+            "salted_s": round(ss_best, 3), "salted_runs": ss_all,
+            "speedup": round(su_best / ss_best, 3),
+            "speedup_vs_combine": round(sc_best / ss_best, 3),
+            # float sum order differs between the one- and two-phase
+            # plans; equality is up to accumulation rounding
+            "results_equal": bool(abs(ru - rs) <= 1e-6 * max(1.0, abs(ru))),
+        },
     }))
     spark.stop()
 

@@ -294,3 +294,30 @@ def test_louvain_three_levels_weighted_contraction(spark):
     assert len({comm[v] for v in range(0, 4)}) == 1
     assert len({comm[v] for v in range(10, 14)}) == 1
     assert comm[0] != comm[10]
+
+
+def test_gremlin_compiles_to_identical_plans(spark):
+    """The string front-end must produce the SAME analyzed DataFrame
+    plan as the fluent chain, not merely the same results."""
+    from graphscope_spark.gie import traversal
+    from graphscope_spark.gremlin import gremlin
+
+    g = _gg(spark)
+    fl = traversal(g)
+    pairs = [
+        ("g.V(0).out().out()", lambda: fl.V(0).out().out()),
+        ("g.V(2).inE().otherV()", lambda: fl.V(2).inE().otherV()),
+        ("g.V().hasId(0, 3).out().dedup()",
+         lambda: fl.V().hasId(0, 3).out().dedup()),
+        ("g.V(0).repeat(both()).times(3)",
+         lambda: fl.V(0).repeat("both", 3)),
+        ("g.V().has('color', 'red')",
+         lambda: fl.V().has("color", "red")),
+    ]
+    for q, fluent in pairs:
+        a = gremlin(g, q).toDF()._jdf.queryExecution().analyzed().toString()
+        b = fluent().toDF()._jdf.queryExecution().analyzed().toString()
+        # exprIds differ between two builds of the same plan; strip them
+        import re
+        strip = lambda s: re.sub(r"#\d+L?", "#", s)  # noqa: E731
+        assert strip(a) == strip(b), q
