@@ -34,6 +34,8 @@ _APPS: dict[str, str] = {
     "sssp_has_path": "traversal:sssp_has_path",
     "sssp_average_length": "traversal:sssp_average_length",
     "apsp_lengths": "traversal:apsp_lengths",
+    "apsp_full": "traversal:apsp_full_lengths",
+    "dfs": "dfs:dfs",
     # connectivity / structure
     "wcc": "wcc:wcc",
     "scc": "connectivity:scc",

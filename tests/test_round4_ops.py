@@ -321,3 +321,60 @@ def test_gremlin_compiles_to_identical_plans(spark):
         import re
         strip = lambda s: re.sub(r"#\d+L?", "#", s)  # noqa: E731
         assert strip(a) == strip(b), q
+
+
+# ----------------------------------------------------------------- dfs
+def _dfs_py(adj, source):
+    """Recursive-spec oracle: preorder DFS, ascending-id neighbors."""
+    rank, order = {source: 0}, [source]
+
+    def visit(v):
+        for u in sorted(adj.get(v, [])):
+            if u not in rank:
+                rank[u] = len(order)
+                order.append(u)
+                visit(u)
+
+    visit(source)
+    return rank, order
+
+
+def test_dfs_matches_recursive_oracle(spark):
+    from graphscope_spark.operators.dfs import dfs
+
+    verts = list(range(8))
+    edges = [(0, 1), (0, 4), (1, 2), (1, 3), (2, 4), (4, 5), (3, 5),
+             (6, 7)]
+    g = make_graph(spark, verts, edges, directed=True)
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    want_rank, want_order = _dfs_py(adj, 0)
+    got = {r["id"]: r["rank"] for r in dfs(g, source=0).collect()}
+    assert got == {v: want_rank.get(v, -1) for v in verts}
+    # successors = consecutive-rank pairs (reference dfs.h:181-196)
+    succ = [(r["src"], r["dst"]) for r in
+            dfs(g, source=0, output_format="successors").collect()]
+    assert succ == [(want_order[i], want_order[i + 1])
+                    for i in range(len(want_order) - 1)]
+    pred = [(r["src"], r["dst"]) for r in
+            dfs(g, source=0, output_format="predecessors").collect()]
+    assert pred == [(b, a) for a, b in succ]
+
+
+def test_dfs_undirected_and_scale_gate(spark):
+    from graphscope_spark.operators.dfs import dfs
+
+    g = make_graph(spark, [0, 1, 2], [(0, 1), (1, 2)], directed=False)
+    got = {r["id"]: r["rank"] for r in dfs(g).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+    with pytest.raises(ValueError, match="inherently sequential"):
+        dfs(g, max_collect_edges=1)
+
+
+def test_dfs_via_run_app(spark):
+    from graphscope_spark.app import run_app
+
+    g = make_graph(spark, [0, 1, 2], [(0, 1), (0, 2)], directed=True)
+    got = {r["id"]: r["rank"] for r in run_app(g, "dfs").collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
