@@ -14,9 +14,15 @@ terminal (``count / toDF / values``), so Catalyst sees the whole
 pipeline (filter pushdown through the hops, join reordering).
 
 Supported steps: ``V, E, has, hasId, out, in_, both, outE, inE,
-bothE, otherV, limit, dedup, values, select, count, where_, path``
-(enable path tracking with ``V(..., track_path=True)`` — each hop
-then appends to an array column, Gremlin's ``path()`` history).
+bothE, otherV, bothV, limit, dedup, values, valueMap, select, count,
+where_, path, as_/select (tag steps), order_by, coin`` (enable path
+tracking with ``V(..., track_path=True)`` — each hop then appends to
+an array column, Gremlin's ``path()`` history).  Hops accept an
+optional edge-label filter (``out("knows")``) when the edge table
+carries a ``label`` column (property-graph projections keep it).
+``coin(p)`` is a DETERMINISTIC pseudo-coin (md5-derived h60 on the
+element id, same engine-portable trick as ``rel_sample``), not
+``rand()`` — reruns agree.
 """
 from __future__ import annotations
 
@@ -70,33 +76,50 @@ class Traversal:
         )
 
     # ------------------------------------------------------------- hops
-    def _hop(self, edges: DataFrame, from_col: str, to_col: str):
+    def _carry(self) -> list[str]:
+        """Columns that ride along through hops: the path history and
+        any ``as_()`` tags."""
+        return [
+            c for c in self._df.columns
+            if c == "p" or c.startswith("_tag_")
+        ]
+
+    def _hop(self, edges: DataFrame, from_col: str, to_col: str,
+             label: str | None = None):
         assert self._kind == "v", "hop from a vertex traversal"
-        carry = ["p"] if "p" in self._df.columns else []
+        if label is not None:
+            assert "label" in edges.columns, (
+                "edge-label hop filter needs a 'label' edge column"
+            )
+            edges = edges.where(F.col("label") == F.lit(label))
+        carry = self._carry()
         stepped = self._df.select(
             F.col("id").alias(from_col), *carry
         ).join(edges.select(from_col, to_col), from_col)
         cols = [F.col(to_col).alias("id")]
-        if carry:
-            cols.append(
-                F.concat(F.col("p"), F.array(F.col(to_col))).alias("p")
-            )
+        for c in carry:
+            if c == "p":
+                cols.append(
+                    F.concat(F.col("p"), F.array(F.col(to_col))).alias("p")
+                )
+            else:
+                cols.append(F.col(c))
         return stepped.select(*cols)
 
-    def out(self) -> "Traversal":
+    def out(self, label: str | None = None) -> "Traversal":
         return Traversal(
-            self._g, self._hop(self._g.edges, "src", "dst"), "v"
+            self._g, self._hop(self._g.edges, "src", "dst", label), "v"
         )
 
-    def in_(self) -> "Traversal":
+    def in_(self, label: str | None = None) -> "Traversal":
         return Traversal(
-            self._g, self._hop(self._g.edges, "dst", "src"), "v"
+            self._g, self._hop(self._g.edges, "dst", "src", label), "v"
         )
 
-    def both(self) -> "Traversal":
+    def both(self, label: str | None = None) -> "Traversal":
         return Traversal(
             self._g,
-            self._hop(self._g.symmetrized_edges(), "src", "dst"),
+            self._hop(self._g.symmetrized_edges(), "src", "dst", label),
             "v",
         )
 
@@ -130,6 +153,73 @@ class Traversal:
         other = "src" if self._anchor == "dst" else "dst"
         return Traversal(
             self._g, self._df.select(F.col(other).alias("id")), "v"
+        )
+
+    def bothV(self) -> "Traversal":
+        """Both endpoints of each edge traverser (bag: one traverser
+        per endpoint, Gremlin ``bothV()``)."""
+        assert self._kind == "e", "bothV steps off an edge traversal"
+        ends = self._df.select(F.col("src").alias("id")).unionByName(
+            self._df.select(F.col("dst").alias("id"))
+        )
+        return Traversal(self._g, ends, "v")
+
+    # -------------------------------------------------------- tag steps
+    def as_(self, name: str) -> "Traversal":
+        """Gremlin ``as('a')``: tag the current element; the tag rides
+        through later hops for ``select_``."""
+        key = "id" if self._kind == "v" else self._anchor
+        return Traversal(
+            self._g,
+            self._df.withColumn(f"_tag_{name}", F.col(key)),
+            self._kind,
+            self._anchor,
+        )
+
+    def select_(self, *names: str) -> DataFrame:
+        """Gremlin ``select('a', 'b')``: project the tagged elements
+        (columns named after the tags)."""
+        missing = [n for n in names
+                   if f"_tag_{n}" not in self._df.columns]
+        assert not missing, f"unknown tags {missing}; use as_() first"
+        return self._df.select(
+            *[F.col(f"_tag_{n}").alias(n) for n in names]
+        )
+
+    def order_by(self, prop: str | None = None) -> "Traversal":
+        """Gremlin ``order()[.by('prop')]``: order traversers by a
+        vertex property (joins the vertex table) or by element key.
+        Ordering is a presentation step — Spark does not guarantee it
+        survives further shuffling, so put it last (as Gremlin users
+        do)."""
+        key = "id" if self._kind == "v" else self._anchor
+        if prop is None:
+            return Traversal(
+                self._g, self._df.orderBy(key), self._kind, self._anchor
+            )
+        assert self._kind == "v", "order().by(prop) on vertices"
+        joined = (
+            self._df.join(
+                self._g.vertices.select("id", prop), "id", "left"
+            )
+            .orderBy(F.col(prop), F.col("id"))
+            .drop(prop)
+        )
+        return Traversal(self._g, joined, "v")
+
+    def coin(self, p: float) -> "Traversal":
+        """Gremlin ``coin(p)`` — DETERMINISTIC: keeps elements whose
+        md5-derived ``h60(id)`` falls under ``p`` (engine-portable,
+        rerun-stable; same device as the ``rel_sample`` demo), not a
+        ``rand()`` draw."""
+        from .functions.text import h60
+
+        key = "id" if self._kind == "v" else self._anchor
+        keep = h60(
+            F.concat(F.lit("coin:"), F.col(key).cast("string"))
+        ) < F.lit(int(p * float(1 << 60)))
+        return Traversal(
+            self._g, self._df.where(keep), self._kind, self._anchor
         )
 
     # ----------------------------------------------------------- shape
@@ -174,6 +264,15 @@ class Traversal:
         return self._df.join(self._g.vertices, "id").select(
             "id", *columns
         )
+
+    def valueMap(self, *columns: str) -> DataFrame:
+        """Gremlin ``valueMap('p1', 'p2')`` — all vertex properties
+        when called with no args."""
+        assert self._kind == "v"
+        cols = list(columns) or [
+            c for c in self._g.vertices.columns if c != "id"
+        ]
+        return self.values(*cols)
 
     def select(self, *columns: str) -> DataFrame:
         return self._df.select(*columns)

@@ -10,10 +10,13 @@ build.  No ``eval``: a hand-rolled tokenizer splits the call chain
 ``ast.literal_eval`` only.
 
 Supported steps (the shapes in the reference's interactive tests):
-``V(ids…) E() has(prop[, value]) hasLabel(l) hasId(ids…) out() in()
-both() outE() inE() bothE() otherV() dedup() limit(n)
-repeat(out()).times(k) values(prop…) groupCount() count() path()``.
-``path()`` auto-enables path tracking on the source step.
+``V(ids…) E() has(prop[, value]) hasLabel(l) hasId(ids…)
+out([label]) in([label]) both([label]) outE() inE() bothE() otherV()
+bothV() dedup() limit(n) repeat(out()).times(k) values(prop…)
+valueMap(prop…) as('a') select('a'[, 'b']) order()[.by('prop')]
+coin(p) groupCount() count() path()``.  ``path()`` auto-enables path
+tracking on the source step; ``coin`` is the deterministic h60
+pseudo-coin, not ``rand()``.
 """
 from __future__ import annotations
 
@@ -22,14 +25,15 @@ import ast
 from .gie import GraphTraversalSource, Traversal, traversal
 from .graph import Graph
 
-#: step-name → fluent-method translation (Python keywords)
-_RENAME = {"in": "in_", "where": "where_"}
+#: step-name → fluent-method translation (Python keywords / clashes)
+_RENAME = {"in": "in_", "where": "where_", "as": "as_",
+           "select": "select_"}
 
 #: steps that need no reflection-special handling and take literal args
 _PLAIN = {
     "has", "hasId", "out", "in_", "both", "outE", "inE", "bothE",
-    "otherV", "dedup", "limit", "groupCount", "values", "count",
-    "path", "toList",
+    "otherV", "bothV", "dedup", "limit", "groupCount", "values",
+    "valueMap", "count", "path", "toList", "as_", "select_", "coin",
 }
 
 
@@ -109,6 +113,13 @@ def gremlin(graph: Graph, query: str):
         name = _RENAME.get(name, name)
         if name == "hasLabel":
             out = out.has("label", *_args(argstr))
+        elif name == "order":
+            # order() / order().by('prop')
+            prop = None
+            if i + 1 < len(calls) and calls[i + 1][0] == "by":
+                (prop,) = _args(calls[i + 1][1])
+                i += 1
+            out = out.order_by(prop)
         elif name == "repeat":
             inner = _split_calls(argstr)
             if len(inner) != 1 or inner[0][1]:

@@ -378,3 +378,42 @@ def test_dfs_via_run_app(spark):
     g = make_graph(spark, [0, 1, 2], [(0, 1), (0, 2)], directed=True)
     got = {r["id"]: r["rank"] for r in run_app(g, "dfs").collect()}
     assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_gremlin_reference_shapes_extended(spark):
+    """Step shapes lifted from the reference's interactive test corpus
+    (as/select, order().by, valueMap, bothV, label hops, coin)."""
+    from graphscope_spark.gremlin import gremlin
+    from graphscope_spark.property_graph import PropertyGraph
+
+    g = _gg(spark)
+    # as('a').out().as('b').select('a','b') — tag pairs ride the hop
+    ab = gremlin(g, "g.V().as('a').out().as('b').select('a', 'b')")
+    pairs = sorted((r["a"], r["b"]) for r in ab.collect())
+    assert pairs == [(0, 1), (0, 2), (1, 2), (2, 3), (3, 0)]
+    # order().by('color'): blues (1, 3) before reds (0, 2)
+    ordered = [r["id"] for r in
+               gremlin(g, "g.V().order().by('color')").toDF().collect()]
+    assert ordered == [1, 3, 0, 2]
+    # valueMap with and without explicit props
+    vm = gremlin(g, "g.V(0).valueMap()")
+    assert set(vm.columns) == {"id", "color", "label"}
+    # bothV: each edge contributes both endpoints (bag of 10 for 5 edges)
+    assert gremlin(g, "g.E().bothV().count()") == 10
+    # coin: deterministic — same subset on rerun, and a subset of V
+    c1 = sorted(gremlin(g, "g.V().coin(0.5)").toList())
+    c2 = sorted(gremlin(g, "g.V().coin(0.5)").toList())
+    assert c1 == c2 and set(c1) <= {0, 1, 2, 3}
+    assert gremlin(g, "g.V().coin(1.0)").count() == 4
+
+    # label-filtered hop over a property-graph projection that keeps
+    # the edge label column
+    v = spark.createDataFrame([(0,), (1,), (2,)], ["id"])
+    e = spark.createDataFrame(
+        [(0, 1, "knows"), (0, 2, "has"), (1, 2, "knows")],
+        ["src", "dst", "label"],
+    )
+    from graphscope_spark.graph import Graph as _G
+    lg = _G.from_edges(e, directed=True, vertices=v)
+    assert gremlin(lg, "g.V().out('knows').count()") == 2
+    assert gremlin(lg, "g.V(0).out('has').count()") == 1
