@@ -31,3 +31,18 @@ skew that AQE alone does not fix (``graphscope_spark.plans.skew``).
 __version__ = "0.1.0"
 
 from graphscope_spark.graph import Graph  # noqa: F401
+from graphscope_spark.property_graph import PropertyGraph  # noqa: F401
+
+
+def __getattr__(name):
+    """Top-level app access, ``graphscope.pagerank(g)``-style: any
+    name in the :mod:`graphscope_spark.app` catalog resolves to its
+    operator, so reference call sites port as
+    ``graphscope_spark.pagerank(g)`` / ``.wcc(g)`` / ``.cdlp(g)``.
+    Lazy (PEP 562) — importing the package never imports operator
+    modules."""
+    from graphscope_spark.app import _APPS, _resolve
+
+    if name in _APPS:
+        return _resolve(name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -33,3 +33,18 @@ def test_run_app_unknown_name(spark):
     )
     with pytest.raises(KeyError, match="unknown app"):
         run_app(g, "nope")
+
+
+def test_top_level_app_access(spark):
+    """graphscope.pagerank(g)-style call sites port directly."""
+    import graphscope_spark as gs
+    from tests.conftest import make_graph
+
+    g = make_graph(spark, [0, 1, 2], [(0, 1), (1, 2), (2, 0)])
+    pr = gs.pagerank(g, max_iter=5, tol=0.0)
+    assert abs(sum(r["rank"] for r in pr.collect()) - 1.0) < 1e-9
+    comp = {r["id"]: r["comp"] for r in gs.wcc(g).collect()}
+    assert set(comp.values()) == {0}
+    import pytest as _pt
+    with _pt.raises(AttributeError):
+        gs.not_an_app
