@@ -123,6 +123,29 @@ class PropertyGraph:
             num_partitions=self.num_partitions,
         )
 
+    def project_from_dicts(
+        self,
+        vertices: dict[str, list[str]],
+        edges: dict[str, list[str]],
+    ) -> Graph:
+        """The reference client's exact projection signature
+        (``python/graphscope/framework/graph.py:254-308``):
+        ``graph.project(vertices={"person": ["age"]},
+        edges={"knows": ["weight"]})`` — one label each, ≤1 property
+        each (the ArrowProjectedFragment contract)."""
+        (vl, vprops), = vertices.items()
+        (el, eprops), = edges.items()
+        if len(vprops or []) > 1 or len(eprops or []) > 1:
+            raise ValueError(
+                "projection takes at most ONE property per label "
+                "(arrow_projected_fragment.h contract)"
+            )
+        return self.project(
+            vl, el,
+            vprop=(vprops[0] if vprops else None),
+            eprop=(eprops[0] if eprops else None),
+        )
+
     def bipartite(
         self, elabel: str, eprop: str | None = None
     ) -> Graph:

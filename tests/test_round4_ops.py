@@ -417,3 +417,20 @@ def test_gremlin_reference_shapes_extended(spark):
     lg = _G.from_edges(e, directed=True, vertices=v)
     assert gremlin(lg, "g.V().out('knows').count()") == 2
     assert gremlin(lg, "g.V(0).out('has').count()") == 1
+
+
+def test_property_graph_project_from_dicts(spark):
+    """The reference client's dict-style projection signature."""
+    from graphscope_spark.property_graph import PropertyGraph
+
+    parts = spark.createDataFrame([(1, 9.5), (2, 3.0)], ["id", "price"])
+    co = spark.createDataFrame([(1, 2, 4)], ["src", "dst", "c"])
+    pg = PropertyGraph(directed=False)
+    pg.add_vertices(parts, "part").add_edges(co, "co", "part", "part")
+    g = pg.project_from_dicts({"part": ["price"]}, {"co": ["c"]})
+    assert set(g.vertices.columns) == {"id", "price"}
+    assert set(g.edges.columns) == {"src", "dst", "weight"}
+    g2 = pg.project_from_dicts({"part": []}, {"co": []})
+    assert set(g2.edges.columns) == {"src", "dst"}
+    with pytest.raises(ValueError, match="ONE property"):
+        pg.project_from_dicts({"part": ["price", "price"]}, {"co": []})
