@@ -89,6 +89,7 @@ _APPS: dict[str, str] = {
     # sampling / link prediction
     "random_walks": "walks:random_walks",
     "sample_neighbors": "walks:sample_neighbors",
+    "negative_sampling": "walks:negative_sampling",
     "jaccard_coefficient": "linkpred:jaccard_coefficient",
     "preferential_attachment": "linkpred:preferential_attachment",
     "adamic_adar": "linkpred:adamic_adar",

@@ -586,6 +586,34 @@ def _sample_neighbors_sql(k: int = 3) -> str:
     )
 
 
+def q_negative_sampling(spark, sf_dir):
+    """GLE-style deterministic negative edge sampling on the co-order
+    graph: ≤3 non-neighbor candidates per vertex, h60-addressed by
+    dense rank, rejection via anti-join (``operators/walks.py``)."""
+    from graphscope_spark.operators.walks import negative_sampling
+
+    return negative_sampling(part_graph_undirected(spark, sf_dir), k=3)
+
+
+def _negative_sampling_sql(k: int = 3) -> str:
+    h = _H60.format("'neg:' || v.id || ':' || j.j")
+    return (
+        "WITH " + _G + ",\n"
+        "nn AS (SELECT count(*) AS n FROM verts),\n"
+        "ranked AS (SELECT id, row_number() OVER (ORDER BY id) - 1"
+        " AS rk FROM verts),\n"
+        f"j AS (SELECT unnest(range({k})) AS j),\n"
+        f"cand AS (SELECT v.id AS src, {h} % (SELECT n FROM nn) AS rk\n"
+        "         FROM verts v CROSS JOIN j),\n"
+        "neg AS (SELECT DISTINCT c.src, r.id AS neg_dst\n"
+        "        FROM cand c JOIN ranked r ON r.rk = c.rk\n"
+        "        WHERE c.src <> r.id)\n"
+        "SELECT n.src, n.neg_dst FROM neg n\n"
+        "LEFT JOIN sym e ON e.src = n.src AND e.dst = n.neg_dst\n"
+        "WHERE e.src IS NULL"
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     from graphscope_spark.functions.text import pii_scrub
 
@@ -3880,7 +3908,8 @@ _REGISTRY_ORDER = [
     # eigenvector/HITS, and the dedup family whose LSH banding gained
     # the no-shingle anti-join + bucket cap (output-identical, but
     # the plan changed → re-verify)
-    "apsp_full", "prop_project", "eigenvector10", "hits",
+    "apsp_full", "prop_project", "negative_sampling",
+    "eigenvector10", "hits",
     "minhash_groups", "minhash_lsh", "embedding_near_dup",
     "ngram_jaccard", "dedup_exact",
     "embedding_topk", "rel_semijoin",
@@ -3897,8 +3926,10 @@ _REGISTRY_ORDER = [
     "decontaminate", "stratified_sample",
     "repetition_stats", "pack_sequences", "random_walks", "pii_scrub",
     "sample_neighbors",
-    # changed in round 3
-    "voterank", "edge_betweenness_sample",
+    # changed in round 3 (edge_betweenness_sample — r3-green and
+    # untouched in r4 — rotated past the window to make room for
+    # negative_sampling)
+    "voterank",
     # remaining high-value graph queries (inside the 50-window)
     "scc", "betweenness_sample", "closeness_sample", "closeness_full",
     "lcc", "kcore", "kshell", "mis", "matching", "ppr", "articlerank",
@@ -3909,6 +3940,7 @@ _REGISTRY_ORDER = [
     # round (rotated out in r4: text_stats/lang_id/doc_fingerprint/
     # simhash/khop2 — r3-green pure column-expression queries with
     # pytest coverage and no r4 code changes) ----
+    "edge_betweenness_sample",
     "text_stats", "lang_id", "doc_fingerprint", "simhash", "khop2",
     "cdlp", "triangles", "tri_count", "bfs", "sssp",
     "tri_census", "k4_count", "core_numbers_k3",
@@ -4097,6 +4129,9 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "apsp_sample": (q_apsp_sample, _apsp_sample_sql(5)),
         "apsp_full": (q_apsp_full, _apsp_full_sql(10)),
         "prop_project": (q_prop_project, _prop_project_sql()),
+        "negative_sampling": (
+            q_negative_sampling, _negative_sampling_sql(3)
+        ),
         "hits": (q_hits, _hits_sql(10)),
         "kcore": (q_kcore, _kcore_sql(80, 20)),
         "khop2": (q_khop2, _KHOP2_SQL),

@@ -73,6 +73,65 @@ def sample_neighbors(
     return adj.select("src", F.explode(picked).alias("nbr"))
 
 
+def negative_sampling(
+    g: Graph,
+    k: int = 3,
+    salt: str = "neg",
+    dense_rank: bool = True,
+) -> DataFrame:
+    """Deterministic NEGATIVE edge sampling — the GLE negative
+    sampler (``graphlearn/core/operator/sampler`` negative samplers,
+    the other half of link-prediction training data alongside
+    :func:`sample_neighbors`): for every vertex, up to ``k``
+    non-neighbors ``(src, neg_dst)``.
+
+    Candidate ``j`` for vertex ``v`` is the vertex at dense rank
+    ``h60(salt:v:j) % n`` — a pure function of (v, j), so
+    byte-reproducible and SQL-oracle-able.  Candidates that hit a real
+    out-neighbor or ``v`` itself are anti-joined away (standard
+    rejection; expected loss is avg_degree/n, negligible on sparse
+    graphs).  Output ≤ k rows per vertex.
+
+    ``dense_rank=True`` builds the rank dictionary with a global
+    ``row_number`` — fine up to ~10⁸ vertices but a single-task sort
+    beyond that; at web scale pass ``dense_rank=False`` when the
+    vertex ids are ALREADY dense 0..n-1 (the mining pipeline's
+    ``from_string_edges`` ids are) and the modulo addresses vertices
+    directly with no dictionary at all.
+    """
+    from pyspark.sql import Window
+
+    n = g.vertices.count()
+    cand_j = F.explode(
+        F.sequence(F.lit(0), F.lit(k - 1))
+    ).alias("j")
+    cands = g.vertices.select(F.col("id").alias("src"), cand_j)
+    pick = h60(
+        F.concat_ws(
+            ":", F.lit(salt), F.col("src").cast("string"),
+            F.col("j").cast("string"),
+        )
+    ) % F.lit(n)
+    cands = cands.select("src", pick.alias("rk"))
+    if dense_rank:
+        ranked = g.vertices.select(
+            "id",
+            (F.row_number().over(Window.orderBy("id")) - 1)
+            .cast("long").alias("rk"),
+        )
+        cands = cands.join(ranked, "rk").select(
+            "src", F.col("id").alias("neg_dst")
+        )
+    else:
+        cands = cands.select("src", F.col("rk").alias("neg_dst"))
+    real = g.edges.select("src", F.col("dst").alias("neg_dst"))
+    return (
+        cands.where(F.col("src") != F.col("neg_dst"))
+        .join(real, ["src", "neg_dst"], "left_anti")
+        .distinct()
+    )
+
+
 def random_walks(
     g: Graph,
     length: int = 4,

@@ -83,3 +83,27 @@ def test_sample_neighbors_topk(spark):
            for r in sample_neighbors(g, k=1, strategy="topk").collect()}
     # topk keeps the smallest neighbor id
     assert (0, 1) in out and (2, 0) in out and (11, 10) in out
+
+
+def test_negative_sampling_properties(spark):
+    from graphscope_spark.operators.walks import negative_sampling
+    from tests.conftest import make_graph
+
+    g = make_graph(spark, list(range(10)),
+                   [(0, 1), (1, 2), (2, 3), (0, 2)], directed=True)
+    neg = negative_sampling(g, k=3)
+    rows = [(r["src"], r["neg_dst"]) for r in neg.collect()]
+    real = {(0, 1), (1, 2), (2, 3), (0, 2)}
+    # no sampled pair is a real edge or a self-loop; ≤ k per vertex
+    assert all(p not in real and p[0] != p[1] for p in rows)
+    from collections import Counter
+    assert max(Counter(s for s, _ in rows).values()) <= 3
+    # deterministic
+    rows2 = [(r["src"], r["neg_dst"]) for r in negative_sampling(g, k=3).collect()]
+    assert sorted(rows) == sorted(rows2)
+    # dense-id direct addressing agrees with the ranked dictionary
+    # when ids are already 0..n-1
+    direct = negative_sampling(g, k=3, dense_rank=False)
+    assert sorted(rows) == sorted(
+        (r["src"], r["neg_dst"]) for r in direct.collect()
+    )
