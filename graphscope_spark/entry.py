@@ -2817,6 +2817,55 @@ def _bfs_succ_sql(rounds: int = 6) -> str:
     )
 
 
+def q_dfs(spark, sf_dir):
+    """DFS preorder ranks from the min part key (reference
+    ``apps/dfs/dfs.h`` default output) over the undirected co-order
+    graph — the one inherently-sequential app, run driver-side behind
+    its scale gate (see ``operators/dfs.py`` module docstring)."""
+    from graphscope_spark.operators.dfs import dfs
+
+    return dfs(part_graph_undirected(spark, sf_dir))
+
+
+def _dfs_sql() -> str:
+    # Exact sequential-cursor oracle: a SINGLE-ROW linear recursive
+    # CTE advances the walk one cursor move per iteration (visit the
+    # min unvisited neighbor of the stack top, else backtrack —
+    # identical to the reference's token loop; scanning a sorted
+    # neighbor list skipping visited vertices IS "min unvisited").
+    # The adjacency is carried as a MAP in the recursion state so the
+    # recursive term touches NO table CTE: DuckDB re-evaluates
+    # (inlines) plain CTEs inside the recursive term on every
+    # iteration (~80 ms/step for the co-order self-join → minutes),
+    # and a MATERIALIZED CTE referenced from a recursive term
+    # silently yields NULL (walk stalls after the anchor) — hence
+    # also the WITH RECURSIVE exemption in ``_materialize_ctes``.
+    return (
+        "WITH RECURSIVE " + _G + """,
+adjm AS (SELECT map(list(src), list(ns)) AS m FROM
+         (SELECT src, list(dst ORDER BY dst) AS ns FROM sym GROUP BY src)),
+walk(stack, ord, adj) AS (
+  SELECT [s], [s], (SELECT m FROM adjm) FROM (SELECT min(id) AS s FROM verts)
+  UNION ALL
+  SELECT
+    CASE WHEN nxt IS NULL THEN stack[1:len(stack)-1]
+         ELSE list_append(stack, nxt) END,
+    CASE WHEN nxt IS NULL THEN ord ELSE list_append(ord, nxt) END,
+    adj
+  FROM (
+    SELECT w.stack, w.ord, w.adj,
+      list_min(list_filter(flatten(element_at(w.adj, w.stack[len(w.stack)])),
+                           x -> NOT list_contains(w.ord, x))) AS nxt
+    FROM walk w WHERE len(w.stack) > 0
+  )
+),
+fin AS (SELECT ord FROM walk WHERE len(stack) = 0),
+ranks AS (SELECT unnest(ord) AS id, unnest(range(len(ord))) AS rank FROM fin)
+SELECT v.id, COALESCE(r.rank, -1)::INT AS rank
+FROM verts v LEFT JOIN ranks r ON r.id = v.id"""
+    )
+
+
 def _forest_sql_parts(wrounds: int, depth: int) -> list[str]:
     """Shared oracle prelude: BFS forest over the undirected co-order
     graph — ``comp`` (min-label wcc, ``wrounds`` unroll), roots,
@@ -3908,7 +3957,7 @@ _REGISTRY_ORDER = [
     # eigenvector/HITS, and the dedup family whose LSH banding gained
     # the no-shingle anti-join + bucket cap (output-identical, but
     # the plan changed → re-verify)
-    "apsp_full", "prop_project", "negative_sampling",
+    "apsp_full", "prop_project", "negative_sampling", "dfs",
     "eigenvector10", "hits",
     "minhash_groups", "minhash_lsh", "embedding_near_dup",
     "ngram_jaccard", "dedup_exact",
@@ -3926,10 +3975,9 @@ _REGISTRY_ORDER = [
     "decontaminate", "stratified_sample",
     "repetition_stats", "pack_sequences", "random_walks", "pii_scrub",
     "sample_neighbors",
-    # changed in round 3 (edge_betweenness_sample — r3-green and
-    # untouched in r4 — rotated past the window to make room for
-    # negative_sampling)
-    "voterank",
+    # changed in round 3 (edge_betweenness_sample and voterank —
+    # r3-green and untouched in r4 — rotated past the window to make
+    # room for negative_sampling and dfs)
     # remaining high-value graph queries (inside the 50-window)
     "scc", "betweenness_sample", "closeness_sample", "closeness_full",
     "lcc", "kcore", "kshell", "mis", "matching", "ppr", "articlerank",
@@ -3940,7 +3988,7 @@ _REGISTRY_ORDER = [
     # round (rotated out in r4: text_stats/lang_id/doc_fingerprint/
     # simhash/khop2 — r3-green pure column-expression queries with
     # pytest coverage and no r4 code changes) ----
-    "edge_betweenness_sample",
+    "edge_betweenness_sample", "voterank",
     "text_stats", "lang_id", "doc_fingerprint", "simhash", "khop2",
     "cdlp", "triangles", "tri_count", "bfs", "sssp",
     "tri_census", "k4_count", "core_numbers_k3",
@@ -4181,6 +4229,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "fluid": (q_fluid, _fluid_sql(20, 10)),
         "bfs_pred": (q_bfs_pred, _bfs_pred_sql(6)),
         "bfs_succ": (q_bfs_succ, _bfs_succ_sql(6)),
+        "dfs": (q_dfs, _dfs_sql()),
         "msf": (q_msf, _msf_sql(12, 6)),
         "core_numbers": (q_core_numbers, _core_numbers_sql(20)),
         # 45 rounds: the greedy serializes on dense tied neighborhoods
@@ -4220,9 +4269,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _materialize_ctes(sql: str) -> str:
     """DuckDB inlines CTEs by default; the unrolled superstep chains
     reference each round's CTE twice, which inlines to an exponential
-    plan.  ``AS MATERIALIZED`` evaluates each round once."""
+    plan.  ``AS MATERIALIZED`` evaluates each round once.
+
+    Recursive oracles are exempt: DuckDB 1.0 silently returns NULL
+    from a MATERIALIZED CTE referenced inside a recursive term (the
+    dfs walk stalls after its anchor row), so they are written to
+    carry all per-iteration state in the recursion itself (no CTE
+    reference in the recursive term → nothing to blow up either)."""
     import re
 
+    if re.match(r"\s*WITH RECURSIVE\b", sql):
+        return sql
     return re.sub(r"\bAS \(", "AS MATERIALIZED (", sql)
 
 
