@@ -671,6 +671,93 @@ def _random_walks_sql(length: int = 4, seed_mod: int = 10) -> str:
     )
 
 
+def q_node2vec(spark, sf_dir):
+    from graphscope_spark.operators.walks import node2vec_walks
+
+    return node2vec_walks(
+        part_graph_undirected(spark, sf_dir),
+        length=4, seed_mod=10, p_inv=2, q_inv=3,
+    )
+
+
+def _node2vec_sql(
+    length: int = 4, seed_mod: int = 10,
+    p_inv: int = 2, q_inv: int = 3,
+) -> str:
+    """Exact mirror of the integer-replication biased draw: candidate
+    d of walk w at step s enters the argmin race once per replica
+    r < weight(prev, v, d) with key h60(n2v:w:s:v:d:r); weight is
+    p_inv on a return move, 1 on a common neighbor of (prev, v)
+    (LEFT JOIN sym on (prev, d) — NULL prev at step 1 matches nothing,
+    so the first step is uniformly weighted q_inv), else q_inv."""
+    max_w = max(p_inv, q_inv, 1)
+    ctes = [
+        "adj AS (SELECT src, list(dst ORDER BY dst) AS nl"
+        " FROM sym GROUP BY src)",
+        f"reps AS (SELECT unnest(range({max_w})) AS r)",
+        f"w0 AS (SELECT id AS walk_id, NULL::BIGINT AS prev,"
+        f" id AS v FROM verts WHERE id % {seed_mod} = 0)",
+    ]
+    selects = ["SELECT walk_id, 0 AS step, v FROM w0"]
+    for s in range(1, length + 1):
+        h = _H60.format(
+            f"'n2v:' || x.walk_id || ':{s}:' || x.v"
+            f" || ':' || x.d || ':' || r.r"
+        )
+        ctes.append(
+            f"c{s} AS (SELECT q.walk_id, q.v, q.d,\n"
+            f"          CASE WHEN q.d = q.prev THEN {p_inv}\n"
+            f"               WHEN pe.src IS NOT NULL THEN 1\n"
+            f"               ELSE {q_inv} END AS wt\n"
+            f"        FROM (SELECT w.walk_id, w.prev, w.v,"
+            f" unnest(a.nl) AS d\n"
+            f"              FROM w{s - 1} w JOIN adj a ON a.src = w.v) q\n"
+            f"        LEFT JOIN sym pe ON pe.src = q.prev"
+            f" AND pe.dst = q.d)"
+        )
+        ctes.append(
+            f"x{s} AS (SELECT x.walk_id, x.v, x.d, {h} AS h\n"
+            f"        FROM c{s} x JOIN reps r ON r.r < x.wt)"
+        )
+        ctes.append(
+            f"w{s} AS (SELECT walk_id, v AS prev, d AS v FROM (\n"
+            f"          SELECT walk_id, v, d, row_number() OVER"
+            f" (PARTITION BY walk_id ORDER BY h, d) AS rn"
+            f" FROM x{s}) WHERE rn = 1)"
+        )
+        selects.append(f"SELECT walk_id, {s} AS step, v FROM w{s}")
+    return (
+        "WITH " + _G + ",\n" + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL ".join(selects)
+    )
+
+
+def q_skipgram(spark, sf_dir):
+    from graphscope_spark.operators.walks import (
+        random_walks, skipgram_pairs,
+    )
+
+    return skipgram_pairs(
+        random_walks(
+            part_graph_undirected(spark, sf_dir), length=4, seed_mod=10
+        ),
+        window=2,
+    )
+
+
+def _skipgram_sql(window: int = 2) -> str:
+    walks = _random_walks_sql()
+    return (
+        f"WITH walks AS ({walks})\n"
+        "SELECT a.v AS center, b.v AS context,"
+        " count(*) AS pair_count\n"
+        "FROM walks a JOIN walks b ON a.walk_id = b.walk_id\n"
+        f" AND a.step <> b.step"
+        f" AND abs(a.step - b.step) <= {window}\n"
+        "GROUP BY a.v, b.v"
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     from graphscope_spark.functions.dedup import minhash_dedup_pairs
 
@@ -3971,7 +4058,7 @@ _REGISTRY_ORDER = [
     "coloring", "onion_layers", "degeneracy", "min_edge_cover",
     "tri_variants",
     "ann_ivf", "fluid", "louvain", "modularity",
-    "link_jaccard", "link_pa",
+    "node2vec_walks", "skipgram_pairs",
     "decontaminate", "stratified_sample",
     "repetition_stats", "pack_sequences", "random_walks", "pii_scrub",
     "sample_neighbors",
@@ -3989,6 +4076,9 @@ _REGISTRY_ORDER = [
     # simhash/khop2 — r3-green pure column-expression queries with
     # pytest coverage and no r4 code changes) ----
     "edge_betweenness_sample", "voterank",
+    # rotated out late r4 for node2vec_walks/skipgram_pairs:
+    # link_jaccard/link_pa — r3-green, linkpred.py untouched in r4
+    "link_jaccard", "link_pa",
     "text_stats", "lang_id", "doc_fingerprint", "simhash", "khop2",
     "cdlp", "triangles", "tri_count", "bfs", "sssp",
     "tri_census", "k4_count", "core_numbers_k3",
@@ -4202,6 +4292,8 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         ),
         "pack_sequences": (q_pack_sequences, _pack_sequences_sql()),
         "random_walks": (q_random_walks, _random_walks_sql()),
+        "node2vec_walks": (q_node2vec, _node2vec_sql()),
+        "skipgram_pairs": (q_skipgram, _skipgram_sql()),
         "pii_scrub": (q_pii_scrub, _pii_scrub_sql()),
         "sample_neighbors": (
             q_sample_neighbors, _sample_neighbors_sql()

@@ -132,6 +132,148 @@ def negative_sampling(
     )
 
 
+def node2vec_walks(
+    g: Graph,
+    length: int = 4,
+    seed_mod: int = 10,
+    p_inv: int = 2,
+    q_inv: int = 3,
+    salt: str = "n2v",
+) -> DataFrame:
+    """Second-order (node2vec-biased) deterministic walks — the
+    biased-walk sampler under GLE's node2vec embeddings (GraphScope
+    GLE ``graphlearn/python/nn`` node2vec; Grover & Leskovec 2016).
+
+    The classic sampler draws the next vertex with unnormalized
+    weight 1/p for returning to the previous vertex, 1 for a common
+    neighbor of (prev, cur), and 1/q otherwise.  To keep the walk
+    byte-reproducible AND exactly SQL-oracle-able, weights are the
+    INTEGER reciprocals ``p_inv`` = 1/p and ``q_inv`` = 1/q and the
+    weighted draw is integer replication: candidate ``d`` with weight
+    ``w`` enters the argmin race once per replica ``r < w`` with key
+    ``h60(salt:walk:step:v:d:r)`` — no transcendentals (an
+    exponential-race draw would hinge on cross-engine ``ln``/``pow``
+    ULP parity), no RNG.  Arbitrary rational p/q reduce to the same
+    machinery by scaling all three weights to integers.
+
+    Step 1 has no previous vertex, so every candidate weighs
+    ``q_inv`` — identical replica counts, i.e. the uniform first step
+    of the reference sampler.
+
+    Scale shape: per step, one co-partitioned frontier×adjacency join
+    explodes candidates (message volume = frontier out-degree sum ×
+    ≤ max(p_inv, q_inv) replicas — a small-constant PageRank
+    superstep), one (prev, d) hash join against the edge list for the
+    common-neighbor test, one walk-keyed min-aggregation.  Nothing is
+    collected; no per-row Python.
+    """
+    adj = g.adjacency(direction="out", sort_lists=True)
+    nbr = adj.select(
+        F.col("src").alias("p_src"),
+        F.explode("dst_list").alias("p_dst"),
+    )
+    seeds = g.vertices.where(F.col("id") % seed_mod == 0).select(
+        F.col("id").alias("walk_id"),
+        F.lit(None).cast("long").alias("prev"),
+        F.col("id").alias("v"),
+    )
+    out_levels = [
+        seeds.select(
+            "walk_id", F.lit(0).alias("step"), F.col("v")
+        )
+    ]
+    cur = seeds
+    with superstep_conf(g.vertices.sparkSession, False):
+        for s in range(1, length + 1):
+            cand = (
+                cur.join(adj, cur["v"] == adj["src"])
+                .select(
+                    "walk_id", "prev", "v",
+                    F.explode("dst_list").alias("d"),
+                )
+                .join(
+                    nbr,
+                    (F.col("prev") == F.col("p_src"))
+                    & (F.col("d") == F.col("p_dst")),
+                    "left",
+                )
+                .select(
+                    "walk_id", "prev", "v", "d",
+                    F.when(F.col("d") == F.col("prev"), F.lit(p_inv))
+                    .when(F.col("p_src").isNotNull(), F.lit(1))
+                    .otherwise(F.lit(q_inv))
+                    .alias("wt"),
+                )
+            )
+            rep = cand.select(
+                "walk_id", "v", "d",
+                F.explode(
+                    F.sequence(F.lit(0), F.col("wt") - 1)
+                ).alias("r"),
+            )
+            key = h60(
+                F.concat_ws(
+                    ":",
+                    F.lit(salt),
+                    F.col("walk_id").cast("string"),
+                    F.lit(str(s)),
+                    F.col("v").cast("string"),
+                    F.col("d").cast("string"),
+                    F.col("r").cast("string"),
+                )
+            )
+            cur = (
+                rep.groupBy("walk_id", "v")
+                .agg(
+                    F.min(
+                        F.struct(key.alias("h"), F.col("d").alias("d"))
+                    ).alias("m")
+                )
+                .select(
+                    "walk_id",
+                    F.col("v").alias("prev"),
+                    F.col("m.d").alias("v"),
+                )
+            )
+            out_levels.append(
+                cur.select("walk_id", F.lit(s).alias("step"), "v")
+            )
+    out = out_levels[0]
+    for lv in out_levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context) training pairs from walk rows — the
+    skip-gram pair generation between GLE's walk sampler and an
+    embedding trainer (word2vec over walks, DeepWalk/node2vec): every
+    ordered pair of positions in the same walk at step distance
+    1..``window``, aggregated to ``(center, context, pair_count)``.
+
+    One walk-keyed self-join — per-walk row count is walk length + 1,
+    so the join fan-out is the bounded constant ``2·window`` per row,
+    never quadratic in corpus size.
+    """
+    a, b = walks.alias("a"), walks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.walk_id") == F.col("b.walk_id"))
+            & (F.col("a.step") != F.col("b.step"))
+            & (
+                F.abs(F.col("a.step") - F.col("b.step"))
+                <= F.lit(window)
+            ),
+        )
+        .groupBy(
+            F.col("a.v").alias("center"),
+            F.col("b.v").alias("context"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+
+
 def random_walks(
     g: Graph,
     length: int = 4,

@@ -107,3 +107,100 @@ def test_negative_sampling_properties(spark):
     assert sorted(rows) == sorted(
         (r["src"], r["neg_dst"]) for r in direct.collect()
     )
+
+
+def _n2v_py(sym_edges, length, seed_mod, p_inv, q_inv, salt="n2v"):
+    """Local replica of the integer-replication biased-draw rule."""
+    from graphscope_spark.functions.text import h60_py
+
+    adj = {}
+    for a, b in sym_edges:
+        adj.setdefault(a, set()).add(b)
+    adj = {k: sorted(v) for k, v in adj.items()}
+    rows = []
+    for seed in sorted({a for a, _ in sym_edges} | {b for _, b in sym_edges}):
+        if seed % seed_mod:
+            continue
+        prev, v = None, seed
+        rows.append((seed, 0, seed))
+        for s in range(1, length + 1):
+            if v not in adj:
+                break
+            best = None
+            for d in adj[v]:
+                if d == prev:
+                    w = p_inv
+                elif prev is not None and d in adj.get(prev, ()):
+                    w = 1
+                else:
+                    w = q_inv
+                for r in range(w):
+                    h = h60_py(f"{salt}:{seed}:{s}:{v}:{d}:{r}")
+                    if best is None or (h, d) < best:
+                        best = (h, d)
+            prev, v = v, best[1]
+            rows.append((seed, s, v))
+    return sorted(rows)
+
+
+def test_node2vec_matches_local_replica_and_is_biased(spark):
+    from graphscope_spark.operators.walks import node2vec_walks
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (2, 4), (4, 0),
+             (10, 11), (11, 12), (12, 10)]
+    sym = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    g = Graph.from_edges(df, directed=True).undirected()
+    for p_inv, q_inv in [(2, 3), (1, 1), (5, 1)]:
+        got = sorted(
+            (r["walk_id"], r["step"], r["v"])
+            for r in node2vec_walks(
+                g, length=4, seed_mod=10, p_inv=p_inv, q_inv=q_inv
+            ).collect()
+        )
+        want = _n2v_py(sym, 4, 10, p_inv, q_inv)
+        assert got == want, (p_inv, q_inv)
+    # every step follows an edge
+    sym_set = set(sym)
+    by_walk = {}
+    for wid, step, v in want:
+        by_walk.setdefault(wid, {})[step] = v
+    for wid, path in by_walk.items():
+        for s in range(1, len(path)):
+            assert (path[s - 1], path[s]) in sym_set
+
+
+def test_node2vec_partitioning_invariant(spark):
+    from graphscope_spark.operators.walks import node2vec_walks
+
+    edges = [(0, 1), (1, 2), (2, 0), (0, 3), (3, 4), (4, 0)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = node2vec_walks(
+        Graph.from_edges(df, directed=True).undirected(), length=3,
+        seed_mod=10,
+    )
+    b = node2vec_walks(
+        Graph.from_edges(df.repartition(7), directed=True).undirected(),
+        length=3, seed_mod=10,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_skipgram_pairs_window(spark):
+    from graphscope_spark.operators.walks import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [(0, 0, 5), (0, 1, 6), (0, 2, 7), (0, 3, 5),
+         (9, 0, 1), (9, 1, 2)],
+        ["walk_id", "step", "v"],
+    )
+    got = {(r["center"], r["context"]): r["pair_count"]
+           for r in skipgram_pairs(walks, window=2).collect()}
+    # walk 0 positions: 5,6,7,5; walk 9: 1,2.  window=2 pairs by hand:
+    want = {}
+    for wk in ([(0, 5), (1, 6), (2, 7), (3, 5)], [(0, 1), (1, 2)]):
+        for i, (si, vi) in enumerate(wk):
+            for j, (sj, vj) in enumerate(wk):
+                if i != j and abs(si - sj) <= 2:
+                    want[(vi, vj)] = want.get((vi, vj), 0) + 1
+    assert got == want
