@@ -4059,7 +4059,9 @@ _REGISTRY_ORDER = [
     "tri_variants",
     "ann_ivf", "fluid", "louvain", "modularity",
     "node2vec_walks", "skipgram_pairs",
-    "decontaminate", "stratified_sample",
+    # triangles/tri_count pulled back in late r4: triangle_list's
+    # close-join plan changed (wedge join → adjacency intersection)
+    "triangles", "tri_count",
     "repetition_stats", "pack_sequences", "random_walks", "pii_scrub",
     "sample_neighbors",
     # changed in round 3 (edge_betweenness_sample and voterank —
@@ -4080,7 +4082,11 @@ _REGISTRY_ORDER = [
     # link_jaccard/link_pa — r3-green, linkpred.py untouched in r4
     "link_jaccard", "link_pa",
     "text_stats", "lang_id", "doc_fingerprint", "simhash", "khop2",
-    "cdlp", "triangles", "tri_count", "bfs", "sssp",
+    "cdlp", "bfs", "sssp",
+    # rotated out late r4 for triangles/tri_count (plan change):
+    # decontaminate/stratified_sample — r3-green, curation.py
+    # untouched in r4, both pytest-covered
+    "decontaminate", "stratified_sample",
     "tri_census", "k4_count", "core_numbers_k3",
     "katz10", "degree_centrality", "avg_degree_connectivity",
     "avg_clustering", "transitivity", "assortativity", "boundary",
