@@ -4062,7 +4062,11 @@ _REGISTRY_ORDER = [
     # triangles/tri_count pulled back in late r4: triangle_list's
     # close-join plan changed (wedge join → adjacency intersection)
     "triangles", "tri_count",
-    "repetition_stats", "pack_sequences", "random_walks", "pii_scrub",
+    "repetition_stats", "pack_sequences", "random_walks",
+    # cdlp pulled back in late r4 (operator gained init_labels warm
+    # start for streaming incrementals); pii_scrub — r3-green, pure
+    # column exprs, text.py untouched — rotated to the tail for it
+    "cdlp",
     "sample_neighbors",
     # changed in round 3 (edge_betweenness_sample and voterank —
     # r3-green and untouched in r4 — rotated past the window to make
@@ -4082,7 +4086,7 @@ _REGISTRY_ORDER = [
     # link_jaccard/link_pa — r3-green, linkpred.py untouched in r4
     "link_jaccard", "link_pa",
     "text_stats", "lang_id", "doc_fingerprint", "simhash", "khop2",
-    "cdlp", "bfs", "sssp",
+    "pii_scrub", "bfs", "sssp",
     # rotated out late r4 for triangles/tri_count (plan change):
     # decontaminate/stratified_sample — r3-green, curation.py
     # untouched in r4, both pytest-covered

@@ -45,9 +45,20 @@ def cdlp(
     max_round: int = 10,
     checkpoint: CheckpointManager | None = None,
     lineage_truncate_every: int = 5,
+    init_labels: DataFrame | None = None,
 ) -> DataFrame:
     """Returns ``(id long, label long)`` after exactly ``max_round``
-    synchronous LDBC-CDLP rounds."""
+    synchronous LDBC-CDLP rounds.
+
+    ``init_labels`` warm-starts the labeling (vertices absent from it
+    seed with their own id, the cold-start rule).  Unlike WCC's
+    min-propagation, CDLP recomputes every label from the neighbor
+    mode each round, so a warm start is merely a seed: it needs no
+    insert-only contract and is safe after deletions — stale labels
+    wash out.  Note the LDBC fixed-round semantics: ``max_round``
+    rounds FROM the seed is a refinement of the previous labeling,
+    not equal to ``max_round`` rounds from scratch on the new graph
+    (streaming incrementals want exactly that refinement)."""
     # in+out neighbor multiset: reversed edges unioned WITHOUT dedup —
     # a u↔v pair contributes v's label to u twice, per LDBC spec.
     if graph.directed:
@@ -66,6 +77,15 @@ def cdlp(
     if checkpoint is not None and (latest := checkpoint.latest_superstep()) is not None:
         state = checkpoint.load_state(graph.vertices.sparkSession, latest)
         start_round = latest + 1
+    elif init_labels is not None:
+        state = (
+            graph.vertices.select("id")
+            .join(
+                init_labels.select("id", F.col("label").alias("l0")),
+                "id", "left",
+            )
+            .select("id", F.coalesce("l0", F.col("id")).alias("label"))
+        )
     else:
         state = graph.vertices.select("id", F.col("id").alias("label"))
     state = state.persist(StorageLevel.MEMORY_AND_DISK)

@@ -237,3 +237,69 @@ def test_triangle_delta_cases(spark):
     old2 = spark.createDataFrame([(0, 1)], ["src", "dst"])
     new2 = spark.createDataFrame([(0, 2), (1, 2)], ["src", "dst"])
     assert triangle_delta(old2, new2) == 1
+
+
+def test_incremental_cdlp_refines_previous_labels(spark, tmp_path):
+    from graphscope_spark.streaming.edge_stream import (
+        incremental_cdlp, read_edge_stream)
+
+    src = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    t = dt.datetime(2026, 1, 1)
+    # CDLP refinement is batch-split-dependent (unlike WCC's exact
+    # min-label fixpoint), so force deterministic batch boundaries:
+    # one availableNow run per written batch
+    _write_edge_batch(
+        spark, src, [(0, 1, t), (1, 2, t), (2, 0, t)])
+    q = incremental_cdlp(
+        read_edge_stream(spark, src), work,
+        directed=False, refine_rounds=3,
+    )
+    q.awaitTermination(300)
+    _write_edge_batch(
+        spark, src, [(10, 11, t), (11, 12, t), (12, 10, t), (2, 10, t)])
+    q = incremental_cdlp(
+        read_edge_stream(spark, src), work,
+        directed=False, refine_rounds=3,
+    )
+    q.awaitTermination(300)
+    labels = {r["id"]: r["label"]
+              for r in spark.read.parquet(f"{work}/labels").collect()}
+    assert set(labels) == {0, 1, 2, 10, 11, 12}
+    # each triangle settles on one label; refinement from the warm
+    # start must equal cdlp() warm-started the same way directly
+    from graphscope_spark.graph import Graph
+    from graphscope_spark.operators.cdlp import cdlp
+    edges1 = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], ["src", "dst"])
+    g1 = Graph.from_edges(edges1, directed=True).undirected()
+    l1 = cdlp(g1, max_round=3)
+    all_edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10), (2, 10)],
+        ["src", "dst"])
+    g2 = Graph.from_edges(all_edges, directed=True).undirected()
+    want = {r["id"]: r["label"]
+            for r in cdlp(g2, max_round=3, init_labels=l1).collect()}
+    assert labels == want
+
+
+def test_cdlp_warm_start_is_seed_only(spark):
+    """A stale/garbage warm start washes out on a clique: every label
+    is recomputed from the neighbor mode each round."""
+    from graphscope_spark.graph import Graph
+    from graphscope_spark.operators.cdlp import cdlp
+
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    g = Graph.from_edges(
+        spark.createDataFrame(edges, ["src", "dst"]),
+        directed=True).undirected()
+    stale = spark.createDataFrame(
+        [(0, 99), (1, 98)], ["id", "label"])
+    got = {r["id"]: r["label"]
+           for r in cdlp(g, max_round=4, init_labels=stale).collect()}
+    # stale labels are not neighbors' ids, so the mode rule replaces
+    # them: the clique converges to ONE label and it is a real vertex
+    # id, not a stale 98/99 (the representative may differ from a
+    # cold start's — labels are community ids, not canonical minima)
+    assert len(set(got.values())) == 1
+    assert set(got.values()) <= {0, 1, 2, 3}
