@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.text import h60
 from ..graph import Graph
 from ..plans.adaptive import superstep_conf
+from ..plans.checkpoint import maybe_truncate_lineage
 
 
 def sample_neighbors(
@@ -235,6 +236,11 @@ def node2vec_walks(
                     F.col("m.d").alias("v"),
                 )
             )
+            # the frontier feeds BOTH the next step and the output
+            # union; without periodic truncation the union's analyzed
+            # plan grows ~2^length (each level re-embeds all prior
+            # joins) and explainString OOMs the driver on length ≥ 6
+            cur = maybe_truncate_lineage(cur, s, 2)
             out_levels.append(
                 cur.select("walk_id", F.lit(s).alias("step"), "v")
             )
@@ -319,6 +325,9 @@ def random_walks(
                     ).alias("v"),
                 )
             )
+            # see node2vec_walks: the output union re-embeds every
+            # prior level's plan, so long walks need lineage cuts
+            cur = maybe_truncate_lineage(cur, s, 3)
             levels.append(cur)
     out = levels[0]
     for lv in levels[1:]:

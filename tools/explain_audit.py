@@ -141,6 +141,18 @@ def main() -> None:
     check("skew: salted two-phase collect_list engaged",
           "pmod(xxhash64" in p and "flatten" in p, "")
 
+    # 13. triangle close-join is the adjacency-intersection plan:
+    # the intersection stays array-side (no wedge-row shuffle between
+    # the two adjacency joins) and no cartesian product appears
+    from graphscope_spark.operators.triangles import triangle_list
+
+    tri = triangle_list(part_graph(spark, sf_dir))
+    p = plan_of(tri)
+    check("triangles: adjacency-intersection close",
+          "array_intersect" in p
+          and "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p, "")
+
     spark.stop()
     fails = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(fails)}/{len(CHECKS)} checks passed")
