@@ -758,6 +758,28 @@ def _skipgram_sql(window: int = 2) -> str:
     )
 
 
+def q_gremlin_2hop_bag(spark, sf_dir):
+    """The Gremlin STRING front-end through the driver protocol: bag
+    (traverser-multiplicity) 2-hop counts — ``g.V().both().both().
+    groupCount()`` parsed by :func:`graphscope_spark.gremlin.gremlin`
+    onto the fluent GIE surface.  Distinct from ``khop2``, which
+    dedups (PathExpand + GetV distinct semantics); here every 2-walk
+    is its own traverser, per Gremlin bag semantics."""
+    from graphscope_spark.gremlin import gremlin
+
+    return gremlin(
+        part_graph(spark, sf_dir), "g.V().both().both().groupCount()"
+    )
+
+
+_GREMLIN_2HOP_SQL = (
+    "WITH " + _G + """
+SELECT b.dst AS id, count(*) AS n
+FROM sym a JOIN sym b ON b.src = a.dst
+GROUP BY b.dst"""
+)
+
+
 def q_minhash_lsh(spark, sf_dir):
     from graphscope_spark.functions.dedup import minhash_dedup_pairs
 
@@ -4062,7 +4084,8 @@ _REGISTRY_ORDER = [
     # triangles/tri_count pulled back in late r4: triangle_list's
     # close-join plan changed (wedge join → adjacency intersection)
     "triangles", "tri_count",
-    "repetition_stats", "pack_sequences", "random_walks",
+    "gremlin_2hop_bag",
+    "pack_sequences", "random_walks",
     # cdlp pulled back in late r4 (operator gained init_labels warm
     # start for streaming incrementals); pii_scrub — r3-green, pure
     # column exprs, text.py untouched — rotated to the tail for it
@@ -4086,6 +4109,9 @@ _REGISTRY_ORDER = [
     # link_jaccard/link_pa — r3-green, linkpred.py untouched in r4
     "link_jaccard", "link_pa",
     "text_stats", "lang_id", "doc_fingerprint", "simhash", "khop2",
+    # repetition_stats — r3-green, text.py untouched — rotated out
+    # late r4 for the new gremlin_2hop_bag string-front-end query
+    "repetition_stats",
     "pii_scrub", "bfs", "sssp",
     # rotated out late r4 for triangles/tri_count (plan change):
     # decontaminate/stratified_sample — r3-green, curation.py
@@ -4283,6 +4309,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "hits": (q_hits, _hits_sql(10)),
         "kcore": (q_kcore, _kcore_sql(80, 20)),
         "khop2": (q_khop2, _KHOP2_SQL),
+        "gremlin_2hop_bag": (q_gremlin_2hop_bag, _GREMLIN_2HOP_SQL),
         "dedup_exact": (
             q_dedup_exact,
             "SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM ("
