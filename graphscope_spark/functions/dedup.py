@@ -198,6 +198,11 @@ def lsh_candidate_pairs(
     for p in per_band[1:]:
         buckets = buckets.unionByName(p)
     if max_bucket_size is not None:
+        # persist: buckets (and the whole signature computation under
+        # it) otherwise re-evaluates for the hot-bucket aggregation on
+        # top of the two self-join sides — exchange reuse across the
+        # differing aggregations is not guaranteed
+        buckets = buckets.persist()
         hot = (
             buckets.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("k"))

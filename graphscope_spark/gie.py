@@ -125,24 +125,39 @@ class Traversal:
 
     def outE(self) -> "Traversal":
         assert self._kind == "v"
-        e = self._df.select(F.col("id").alias("src")).join(
-            self._g.edges, "src"
-        )
+        e = self._df.select(
+            F.col("id").alias("src"), *self._carry()
+        ).join(self._g.edges, "src")
         return Traversal(self._g, e, "e", anchor="src")
 
     def inE(self) -> "Traversal":
         assert self._kind == "v"
-        e = self._df.select(F.col("id").alias("dst")).join(
-            self._g.edges, "dst"
-        )
+        e = self._df.select(
+            F.col("id").alias("dst"), *self._carry()
+        ).join(self._g.edges, "dst")
         return Traversal(self._g, e, "e", anchor="dst")
 
     def bothE(self) -> "Traversal":
         assert self._kind == "v"
-        e = self._df.select(F.col("id").alias("src")).join(
-            self._g.symmetrized_edges(), "src"
-        )
+        e = self._df.select(
+            F.col("id").alias("src"), *self._carry()
+        ).join(self._g.symmetrized_edges(), "src")
         return Traversal(self._g, e, "e", anchor="src")
+
+    def _land(self, endpoint: str) -> list:
+        """Projection landing a vertex traversal on ``endpoint`` of an
+        edge DF: tags ride through unchanged; the path history (vertex
+        ids — edges are not recorded in it) appends the landed id."""
+        cols = [F.col(endpoint).alias("id")]
+        for c in self._carry():
+            if c == "p":
+                cols.append(
+                    F.concat(F.col("p"), F.array(F.col(endpoint)))
+                    .alias("p")
+                )
+            else:
+                cols.append(F.col(c))
+        return cols
 
     def otherV(self) -> "Traversal":
         """Step to the endpoint OPPOSITE the anchored one: after
@@ -151,16 +166,14 @@ class Traversal:
         ``dst``."""
         assert self._kind == "e", "otherV steps off an edge traversal"
         other = "src" if self._anchor == "dst" else "dst"
-        return Traversal(
-            self._g, self._df.select(F.col(other).alias("id")), "v"
-        )
+        return Traversal(self._g, self._df.select(*self._land(other)), "v")
 
     def bothV(self) -> "Traversal":
         """Both endpoints of each edge traverser (bag: one traverser
         per endpoint, Gremlin ``bothV()``)."""
         assert self._kind == "e", "bothV steps off an edge traversal"
-        ends = self._df.select(F.col("src").alias("id")).unionByName(
-            self._df.select(F.col("dst").alias("id"))
+        ends = self._df.select(*self._land("src")).unionByName(
+            self._df.select(*self._land("dst"))
         )
         return Traversal(self._g, ends, "v")
 

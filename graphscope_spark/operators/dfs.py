@@ -62,6 +62,15 @@ def dfs(
             f"cursor token); refusing to collect {n_edges} edges "
             f"(> max_collect_edges={max_collect_edges}) to the driver"
         )
+    # the vertex-id list is collected too (for the -1 unreached rows)
+    # — gate it as well: a near-edgeless graph can still carry a huge
+    # explicit vertex table
+    n_vertices = graph.vertices.count()
+    if n_vertices > max_collect_edges:
+        raise ValueError(
+            f"dfs refuses to collect {n_vertices} vertex ids "
+            f"(> max_collect_edges={max_collect_edges}) to the driver"
+        )
     if source is None:
         source = graph.vertices.agg(F.min("id")).first()[0]
     e = graph.edges if graph.directed else graph.symmetrized_edges()

@@ -301,9 +301,17 @@ def multi_source_sssp(
     max_iter: int = 10_000,
     symmetrize: bool = False,
     checkpoint: CheckpointManager | None = None,
+    prebuilt_edges: DataFrame | None = None,
+    handles: dict | None = None,
 ) -> DataFrame:
     """Weighted distances from every source at once: ``(source long,
     id long, dist double)``, reached pairs only.
+
+    ``prebuilt_edges`` lets a batching caller (``apsp_full_lengths``)
+    build and persist the (src, dst, w) table ONCE instead of once
+    per call; ``handles`` (a dict) receives the final persisted
+    state/frontier frames under ``"frames"`` (and ``"edges"``) so
+    that caller can unpersist them after materializing the result.
 
     One frontier-driven Bellman-Ford keyed on (source, id) — the
     backbone for APSP (``apps/apsp/all_pairs_shortest_path_length.h``,
@@ -323,18 +331,31 @@ def multi_source_sssp(
 
     with superstep_conf(graph.vertices.sparkSession, False):
         return _multi_source_sssp_loop(graph, sources, weight_col, max_iter,
-                                       symmetrize, checkpoint)
+                                       symmetrize, checkpoint,
+                                       prebuilt_edges, handles)
 
 
-def _multi_source_sssp_loop(graph, sources, weight_col, max_iter, symmetrize,
-                            checkpoint=None):
+def _sssp_edge_table(graph, weight_col, symmetrize):
+    """(src, dst, w double) table for the SSSP family, repartitioned
+    by src; NOT persisted — the caller decides the lifetime."""
     e = graph.symmetrized_edges(dedup=False) if symmetrize else graph.edges
     if weight_col not in e.columns:
         e = e.withColumn(weight_col, F.lit(1.0))
     edges = e.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
     if graph.num_partitions:
         edges = edges.repartition(graph.num_partitions, "src")
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    return edges
+
+
+def _multi_source_sssp_loop(graph, sources, weight_col, max_iter, symmetrize,
+                            checkpoint=None, prebuilt_edges=None,
+                            handles=None):
+    if prebuilt_edges is not None:
+        edges = prebuilt_edges
+    else:
+        edges = _sssp_edge_table(graph, weight_col, symmetrize).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
 
     start_step = 0
     if checkpoint is not None and (
@@ -349,6 +370,7 @@ def _multi_source_sssp_loop(graph, sources, weight_col, max_iter, symmetrize,
                  F.lit(0.0).alias("dist"))
     state = state.persist(StorageLevel.MEMORY_AND_DISK)
     frontier = state
+    backing = state
     for step in range(start_step, start_step + max_iter):
         cand = (
             edges.join(frontier.withColumnRenamed("id", "src"), "src")
@@ -374,15 +396,24 @@ def _multi_source_sssp_loop(graph, sources, weight_col, max_iter, symmetrize,
             F.col("old").isNull() | (F.col("dist") < F.col("old"))
         ).select("source", "id", "dist").persist(StorageLevel.MEMORY_AND_DISK)
         changed = new_frontier.count()
-        state.unpersist()
-        if frontier is not state:
+        # unpersist the frames BACKING the previous round (state is a
+        # projection after round 1 — unpersisting the projection is a
+        # no-op, so track the persisted handles themselves)
+        if frontier is not state and frontier is not backing:
             frontier.unpersist()
+        backing.unpersist()
         state = merged.select("source", "id", "dist")
         frontier = new_frontier
+        backing = merged
         if checkpoint is not None:
             checkpoint.save(step, state, {"changed": float(changed)})
         if changed == 0:
             break
+    if handles is not None:
+        handles["frames"] = [
+            f for f in {id(backing): backing, id(frontier): frontier}.values()
+        ]
+        handles["edges"] = edges
     return state
 
 
@@ -461,15 +492,37 @@ def apsp_full_lengths(
     if batch_count is None:
         n = graph.vertices.count()
         batch_count = max(1, _math.ceil(n / batch_size))
+    # one shared persisted edge table for ALL batches (re-persisting
+    # it per multi_source_sssp call leaked batch_count copies), and
+    # per-batch state frames released at every hard lineage cut —
+    # without this the block store grows with batch_count, the
+    # opposite of what the memory knob promises
+    shared_edges = None
+    if batch_count > 1:
+        shared_edges = _sssp_edge_table(graph, "__hop__", symmetrize).persist()
     out: DataFrame | None = None
+    pending_frames: list[DataFrame] = []
     for b in range(batch_count):
         srcs = graph.vertices.select("id").where(
             F.pmod(F.col("id"), F.lit(batch_count)) == b
         )
+        h: dict = {}
         d = multi_source_sssp(
-            graph, srcs, weight_col="__hop__", symmetrize=symmetrize
+            graph, srcs, weight_col="__hop__", symmetrize=symmetrize,
+            prebuilt_edges=shared_edges, handles=h,
         ).select("source", "id", F.col("dist").cast("long").alias("dist"))
         out = d if out is None else out.unionByName(d)
+        pending_frames.extend(h.get("frames", []))
         if batch_count > 1 and (b + 1) % 4 == 0:
             out = out.localCheckpoint(eager=True)
+            for f in pending_frames:
+                f.unpersist()
+            pending_frames = []
+    if batch_count > 1:
+        # final hard cut materializes the result, then every upstream
+        # frame (including the shared edge table) can be released
+        out = out.localCheckpoint(eager=True)
+        for f in pending_frames:
+            f.unpersist()
+        shared_edges.unpersist()
     return out

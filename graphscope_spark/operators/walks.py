@@ -161,6 +161,11 @@ def node2vec_walks(
     ``q_inv`` — identical replica counts, i.e. the uniform first step
     of the reference sampler.
 
+    ``p_inv`` / ``q_inv`` must be integers ≥ 1: replication cannot
+    express weight 0 ("never take this move"), and a 0 would silently
+    become a DESCENDING ``F.sequence(0, -1)`` = two replicas on the
+    Spark side while the SQL oracle's ``r < 0`` yields none.
+
     Scale shape: per step, one co-partitioned frontier×adjacency join
     explodes candidates (message volume = frontier out-degree sum ×
     ≤ max(p_inv, q_inv) replicas — a small-constant PageRank
@@ -168,6 +173,11 @@ def node2vec_walks(
     common-neighbor test, one walk-keyed min-aggregation.  Nothing is
     collected; no per-row Python.
     """
+    if not (isinstance(p_inv, int) and p_inv >= 1
+            and isinstance(q_inv, int) and q_inv >= 1):
+        raise ValueError(
+            f"p_inv/q_inv must be integers >= 1, got {p_inv!r}/{q_inv!r}"
+        )
     adj = g.adjacency(direction="out", sort_lists=True)
     nbr = adj.select(
         F.col("src").alias("p_src"),

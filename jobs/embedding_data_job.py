@@ -89,8 +89,12 @@ def main() -> None:
     pos = skipgram_pairs(walks, window=args.window).persist()
     stages["positive_pairs"] = pos.count()
 
+    # sample against the UNDIRECTED graph the walks ran on: positives
+    # come from undirected traversals, so rejecting only directed
+    # out-edges would let a reverse-edge pair appear as both a
+    # positive and a negative
     neg = negative_sampling(
-        g, k=args.neg_k, dense_rank=False
+        gu, k=args.neg_k, dense_rank=False
     ).persist()
     stages["negative_pairs"] = neg.count()
 

@@ -62,3 +62,38 @@ def test_base_tables_plus_deltas(spark):
     g = dg.snapshot()
     assert g.edges.count() == 2
     assert g.vertices.where(F.col("id") == 9).count() == 1
+
+
+def test_remove_then_readd_resurrects(spark):
+    """Order matters: a remove followed by a re-add must leave the
+    element PRESENT (NetworkX replay), not let the deletion win."""
+    dg = DynamicGraph(spark, directed=True)
+    dg.add_edge(0, 1)
+    dg.remove_edge(0, 1)
+    dg.add_edge(0, 1)
+    assert dg.has_edge(0, 1)
+    assert dg.number_of_edges() == 1
+    # node: remove wipes incident edges; re-add gives a bare node
+    dg2 = DynamicGraph(spark, directed=True)
+    dg2.add_edge(1, 2)
+    dg2.remove_node(1)
+    dg2.add_node(1)
+    assert dg2.number_of_edges() == 0
+    assert sorted(r["id"] for r in dg2.snapshot().vertices.collect()) == [1, 2]
+    # an edge added AFTER the node removal re-exists
+    dg3 = DynamicGraph(spark, directed=True)
+    dg3.add_edge(1, 2)
+    dg3.remove_node(1)
+    dg3.add_edge(1, 3)
+    assert not dg3.has_edge(1, 2)
+    assert dg3.has_edge(1, 3)
+
+
+def test_undirected_edge_is_one_key(spark):
+    dg = DynamicGraph(spark, directed=False)
+    dg.add_edge(5, 7)
+    dg.add_edge(7, 5)
+    assert dg.number_of_edges() == 1
+    # removing via the reversed orientation removes THE edge
+    dg.remove_edge(5, 7)
+    assert dg.number_of_edges() == 0

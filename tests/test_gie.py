@@ -87,3 +87,26 @@ def test_inE_otherV_anchor(spark):
     # hasId on an edge traversal filters the ANCHORED endpoint
     assert g.V().inE().hasId(2).count() == 2  # edges INTO 2
     assert g.V().outE().hasId(0).count() == 2  # edges OUT of 0
+
+
+def test_tags_and_path_ride_through_edge_steps(spark):
+    g = traversal(_g(spark))
+    # as_('a') before an edge hop must survive outE/inE + otherV
+    rows = sorted(
+        (r["a"],) for r in
+        g.V(2).as_("a").inE().otherV().select_("a").collect()
+    )
+    assert rows == [(2,), (2,)]  # one traverser per incoming edge
+    # select both the tag and the landed vertex
+    t = g.V(2).as_("a").inE().otherV().as_("b")
+    pairs = sorted((r["a"], r["b"]) for r in t.select_("a", "b").collect())
+    assert pairs == [(2, 0), (2, 1)]
+    # path() history appends the landed vertex after an edge step
+    paths = sorted(
+        tuple(r["path"]) for r in g.V(2, track_path=True)
+        .outE().otherV().path().collect()
+    )
+    assert paths == [(2, 3)]
+    # bothV keeps tags too (one traverser per endpoint)
+    n = g.V(2).as_("a").outE().bothV().select_("a").count()
+    assert n == 2

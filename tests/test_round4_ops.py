@@ -370,6 +370,10 @@ def test_dfs_undirected_and_scale_gate(spark):
     assert got == {0: 0, 1: 1, 2: 2}
     with pytest.raises(ValueError, match="inherently sequential"):
         dfs(g, max_collect_edges=1)
+    # the vertex-id collect is gated too: few edges, many vertices
+    g2 = make_graph(spark, list(range(10)), [(0, 1)], directed=False)
+    with pytest.raises(ValueError, match="vertex ids"):
+        dfs(g2, max_collect_edges=4)
 
 
 def test_dfs_via_run_app(spark):

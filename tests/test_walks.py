@@ -204,3 +204,13 @@ def test_skipgram_pairs_window(spark):
                 if i != j and abs(si - sj) <= 2:
                     want[(vi, vj)] = want.get((vi, vj), 0) + 1
     assert got == want
+
+
+def test_node2vec_rejects_non_positive_weights(spark):
+    import pytest
+    from graphscope_spark.operators.walks import node2vec_walks
+
+    g = _graph(spark)
+    for bad in [(0, 3), (2, 0), (2, 1.5)]:
+        with pytest.raises(ValueError):
+            node2vec_walks(g, p_inv=bad[0], q_inv=bad[1])
