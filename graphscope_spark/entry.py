@@ -55,20 +55,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # canonical graph: co-order part graph from lineitem
 # --------------------------------------------------------------------
 
-def part_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """(vertices(id), directed edges(src,dst)) of the co-order graph.
-
-    Directed convention: src < dst (part-key order), distinct pairs.
-    """
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    verts = li.select(F.col("l_partkey").alias("id")).distinct()
-    # ONE shuffle (group per order) then in-line pair expansion beats
-    # the two-shuffle self-join ~20% at sf0.1; per-order group size is
-    # bounded (≤7 lineitems) so the quadratic expansion cannot skew
+def _coorder_pairs(li: DataFrame) -> DataFrame:
+    """All ``src < dst`` co-order part pairs, one row PER CO-ORDER
+    (not deduped) — the single shared expansion under part_edges /
+    part_graph_min2 / q_prop_project, which respectively dedupe,
+    threshold, and weight it.  ONE shuffle (group per order) then
+    in-line pair expansion beats the two-shuffle self-join ~20% at
+    sf0.1; per-order group size is bounded (≤7 lineitems) so the
+    quadratic expansion cannot skew."""
     lists = li.groupBy("l_orderkey").agg(
         F.collect_set("l_partkey").alias("ps")
     )
-    dedges = (
+    return (
         lists.select(
             F.explode(
                 F.expr(
@@ -79,8 +77,17 @@ def part_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             ).alias("p")
         )
         .select("p.src", "p.dst")
-        .distinct()
     )
+
+
+def part_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(vertices(id), directed edges(src,dst)) of the co-order graph.
+
+    Directed convention: src < dst (part-key order), distinct pairs.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    verts = li.select(F.col("l_partkey").alias("id")).distinct()
+    dedges = _coorder_pairs(li).distinct()
     return verts, dedges
 
 
@@ -101,23 +108,9 @@ def part_graph_min2(spark: SparkSession, sf_dir: str) -> Graph:
     8 components, hundreds of bridges and cut vertices at sf0.01 — so
     the connectivity-structure queries have non-trivial answers."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    lists = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("ps")
-    )
-    pairs = (
-        lists.select(
-            F.explode(
-                F.expr(
-                    "filter(flatten(transform(ps,"
-                    " x -> transform(ps, y -> struct(x as src, y as dst)))),"
-                    " p -> p.src < p.dst)"
-                )
-            ).alias("p")
-        )
-        .select("p.src", "p.dst")
-    )
     dedges = (
-        pairs.groupBy("src", "dst")
+        _coorder_pairs(li)
+        .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") >= 2)
         .select("src", "dst")
@@ -1450,21 +1443,7 @@ def q_prop_project(spark, sf_dir):
         F.col("p_partkey").alias("id"), "p_retailprice"
     )
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    lists = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("ps")
-    )
-    pairs = (
-        lists.select(
-            F.explode(
-                F.expr(
-                    "filter(flatten(transform(ps,"
-                    " x -> transform(ps, y -> struct(x as src, y as dst)))),"
-                    " p -> p.src < p.dst)"
-                )
-            ).alias("p")
-        )
-        .select("p.src", "p.dst")
-    )
+    pairs = _coorder_pairs(li)
     wedges = (
         pairs.groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -4075,11 +4054,15 @@ _REGISTRY_ORDER = [
     "bridges", "cut_points", "bcc", "msf", "core_numbers", "bfs_pred",
     "bfs_succ",
     "k5_count", "min_cover", "min_dominating",
-    "three_path", "tailed_tri", "diamond", "k_center",
-    "is_simple_path", "path_sample", "simple_paths",
+    "three_path", "tailed_tri", "diamond",
+    # multi_source_sssp loop changed late r4 (persist-handle cleanup
+    # + shared batch edge table) — every consumer re-enters the
+    # window: apsp_full is above; these are the rest
+    "apsp_sample", "sssp_avg_length", "closeness_sample",
+    "closeness_full", "harmonic_sample",
     "coloring", "onion_layers", "degeneracy", "min_edge_cover",
     "tri_variants",
-    "ann_ivf", "fluid", "louvain", "modularity",
+    "ann_ivf", "louvain", "modularity",
     "node2vec_walks", "skipgram_pairs",
     # triangles/tri_count pulled back in late r4: triangle_list's
     # close-join plan changed (wedge join → adjacency intersection)
@@ -4091,19 +4074,24 @@ _REGISTRY_ORDER = [
     # column exprs, text.py untouched — rotated to the tail for it
     "cdlp",
     "sample_neighbors",
-    # changed in round 3 (edge_betweenness_sample and voterank —
-    # r3-green and untouched in r4 — rotated past the window to make
-    # room for negative_sampling and dfs)
-    # remaining high-value graph queries (inside the 50-window)
-    "scc", "betweenness_sample", "closeness_sample", "closeness_full",
-    "lcc", "kcore", "kshell", "mis", "matching", "ppr", "articlerank",
-    "harmonic_sample", "diameter_approx", "densest_sub",
-    "clustering_directed", "apsp_sample", "sssp_path", "sssp_has_path",
-    "sssp_avg_length", "lpa_u2i", "rect_count",
     # ---- position 51+: stable driver-green entries, untouched this
-    # round (rotated out in r4: text_stats/lang_id/doc_fingerprint/
-    # simhash/khop2 — r3-green pure column-expression queries with
-    # pytest coverage and no r4 code changes) ----
+    # round.  The late-r4 window additions (dfs, node2vec_walks,
+    # skipgram_pairs, triangles, tri_count, cdlp, gremlin_2hop_bag)
+    # pushed everything from scc onward past the first-50 window —
+    # all of it r2/r3-green with operators unchanged in r4, so the
+    # window rule (changed operators verified this round) holds ----
+    "scc", "betweenness_sample",
+    "lcc", "kcore", "kshell", "mis", "matching", "ppr", "articlerank",
+    "diameter_approx", "densest_sub",
+    "clustering_directed", "sssp_path", "sssp_has_path",
+    "lpa_u2i", "rect_count",
+    # (rotated out in r4: text_stats/lang_id/doc_fingerprint/simhash/
+    # khop2, edge_betweenness_sample, voterank, and — late r4, for
+    # the multi_source_sssp consumers above — k_center/is_simple_path/
+    # path_sample/simple_paths/fluid: green in earlier rounds,
+    # operator modules untouched in r4)
+    "k_center", "is_simple_path", "path_sample", "simple_paths",
+    "fluid",
     "edge_betweenness_sample", "voterank",
     # rotated out late r4 for node2vec_walks/skipgram_pairs:
     # link_jaccard/link_pa — r3-green, linkpred.py untouched in r4

@@ -323,8 +323,15 @@ class GraphTraversalSource:
             df = df.withColumn("p", F.array(F.col("id")))
         return Traversal(self._g, df, "v")
 
-    def E(self) -> Traversal:
-        return Traversal(self._g, self._g.edges, "e")
+    def E(self, track_path: bool = False) -> Traversal:
+        """All-edge source.  With ``track_path``, the history starts
+        at the anchored endpoint (``src``) — paths record VERTEX ids
+        (edges are not path elements in this engine), so
+        ``E().otherV().path()`` yields ``[src, dst]`` per edge."""
+        df = self._g.edges
+        if track_path:
+            df = df.withColumn("p", F.array(F.col("src")))
+        return Traversal(self._g, df, "e", anchor="src")
 
 
 def traversal(graph: Graph) -> GraphTraversalSource:

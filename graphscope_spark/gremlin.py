@@ -105,7 +105,7 @@ def gremlin(graph: Graph, query: str):
     if src_name == "V":
         t: Traversal = g.V(*_args(src_args), track_path=wants_path)
     else:
-        t = g.E()
+        t = g.E(track_path=wants_path)
     out = t
     i = 1
     while i < len(calls):

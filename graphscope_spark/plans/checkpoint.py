@@ -65,8 +65,16 @@ class CheckpointManager:
         crash mid-write never yields a half-checkpoint.
         """
         state.write.mode("overwrite").parquet(self._p("state", superstep))
+        # lineage from the JUST-WRITTEN files, not the original plan:
+        # re-aggregating `state` would execute its whole upstream plan
+        # a second time per superstep (cheap only when the caller
+        # happened to persist); partition ids here describe the
+        # written layout — the thing a resume actually reads
+        written = state.sparkSession.read.parquet(
+            self._p("state", superstep)
+        )
         lineage = (
-            state.withColumn("partition_id", F.spark_partition_id())
+            written.withColumn("partition_id", F.spark_partition_id())
             .groupBy("partition_id")
             .agg(F.count(F.lit(1)).alias("rows"))
             .withColumn("superstep", F.lit(superstep))
@@ -76,12 +84,15 @@ class CheckpointManager:
         )
         spark = state.sparkSession
         mrow = {"superstep": superstep, "wall_ts": time.time(), **metrics}
+        # schema built without a trailing separator: an empty metrics
+        # dict previously produced "..., " which Spark's DDL parser
+        # rejects with a ParseException
+        schema = ", ".join(
+            ["superstep int", "wall_ts double"]
+            + [f"`{k}` double" for k in metrics]
+        )
         spark.createDataFrame([json.dumps(mrow)], "string").select(
-            F.from_json(
-                "value",
-                "superstep int, wall_ts double, "
-                + ", ".join(f"`{k}` double" for k in metrics),
-            ).alias("m")
+            F.from_json("value", schema).alias("m")
         ).select("m.*").coalesce(1).write.mode("overwrite").parquet(
             self._p("metrics", superstep)
         )
@@ -104,9 +115,18 @@ class CheckpointManager:
         return spark.read.parquet(self._p("state", superstep))
 
     def load_metrics(self, spark: SparkSession) -> DataFrame:
-        return spark.read.option("basePath", os.path.join(self.base, "metrics")).parquet(
-            os.path.join(self.base, "metrics", "superstep=*")
-        )
+        """Metrics of COMMITTED supersteps only — an uncommitted
+        (crash-truncated, no ``_SUCCESS``) superstep dir must not
+        contribute phantom rows (the same commit rule
+        ``latest_superstep`` applies)."""
+        mdir = os.path.join(self.base, "metrics")
+        paths = [
+            os.path.join(mdir, d)
+            for d in sorted(os.listdir(mdir))
+            if d.startswith("superstep=")
+            and self._committed("metrics", int(d.split("=", 1)[1]))
+        ]
+        return spark.read.option("basePath", mdir).parquet(*paths)
 
 
 def maybe_truncate_lineage(df: DataFrame, superstep: int, every: int = 5) -> DataFrame:

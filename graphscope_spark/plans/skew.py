@@ -22,10 +22,24 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, key: str, buckets: int, salt_col: str = "_salt") -> DataFrame:
-    """Deterministic salt in [0, buckets): derived from the row's other
-    content via xxhash64 so re-runs are stable (no rand())."""
+    """Deterministic salt in [0, buckets): xxhash64 of the source
+    partition id PLUS the row's other content — no ``rand()``.
+
+    The partition id matters: content alone degenerates exactly in
+    the hub case this module exists for — e.g. ``salted_sum(msgs,
+    'id', F.lit(1))`` for a degree count makes every hub message the
+    identical row, so a content-only hash puts ALL of them in ONE
+    bucket and the claimed ~1/buckets reducer bound is void.  A hub's
+    messages are produced across many upstream partitions, so the
+    partition id spreads identical rows while staying deterministic
+    for a fixed input partitioning (re-runs of the same pipeline see
+    the same partitioning; the aggregate VALUE is salt-invariant
+    regardless)."""
     others = [c for c in df.columns if c != key] or [key]
-    return df.withColumn(salt_col, F.pmod(F.xxhash64(*others), F.lit(buckets)))
+    return df.withColumn(
+        salt_col,
+        F.pmod(F.xxhash64(F.spark_partition_id(), *others), F.lit(buckets)),
+    )
 
 
 def salted_sum(

@@ -11,7 +11,14 @@ per batch.
 
 from graphscope_spark.streaming.edge_stream import (  # noqa: F401
     degree_threshold_alerts,
+    incremental_cdlp,
     incremental_degrees,
+    incremental_pagerank,
+    incremental_triangles,
+    incremental_wcc,
     read_edge_stream,
+    run_to_sink,
+    streaming_dedup,
+    triangle_delta,
     windowed_event_stats,
 )

@@ -153,6 +153,69 @@ def run_to_sink(
     )
 
 
+def _incremental_graph_stream(
+    edge_stream: DataFrame,
+    work_dir: str,
+    state_dir: str,
+    compute,
+    graph_directed: bool = True,
+    symmetrize: bool = False,
+):
+    """Shared foreachBatch scaffold for the warm-started incremental
+    graph analytics (PageRank / WCC / CDLP — previously maintained in
+    triplicate): append the batch to the edge log, rebuild the graph
+    over the distinct accumulated log, read the previous state as an
+    EAGER copy (the swap below replaces those files, and a lazy
+    reference would fail on later re-evaluation), run
+    ``compute(graph, prev_state)``, then stage-and-swap the new state
+    so a crash mid-write never corrupts ``{work_dir}/{state_dir}``.
+    """
+    from ..graph import Graph
+
+    spark = edge_stream.sparkSession
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch.select("src", "dst").write.mode("append").parquet(
+            f"{work_dir}/edges"
+        )
+        g = Graph.from_edges(
+            spark.read.parquet(f"{work_dir}/edges").distinct(),
+            directed=graph_directed,
+        )
+        if symmetrize:
+            # .undirected() contract: some undirected consumers (cdlp)
+            # expect pre-symmetrized edges, not just the flag
+            g = Graph.from_edges(
+                g.symmetrized_edges(), directed=False,
+                vertices=g.vertices,
+            )
+        try:
+            prev = spark.read.parquet(
+                f"{work_dir}/{state_dir}"
+            ).localCheckpoint(eager=True)
+        except Exception:
+            prev = None
+        state = compute(g, prev)
+        state.write.mode("overwrite").parquet(
+            f"{work_dir}/{state_dir}_next"
+        )
+        import shutil
+
+        shutil.rmtree(f"{work_dir}/{state_dir}", ignore_errors=True)
+        shutil.move(
+            f"{work_dir}/{state_dir}_next", f"{work_dir}/{state_dir}"
+        )
+
+    return (
+        edge_stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", f"{work_dir}/_stream_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def incremental_pagerank(
     edge_stream: DataFrame,
     work_dir: str,
@@ -172,44 +235,16 @@ def incremental_pagerank(
     ``ranks/`` the latest (id, rank).  Returns the StreamingQuery;
     read ``{work_dir}/ranks`` after any trigger for current scores.
     """
-    from ..graph import Graph
     from ..operators.pagerank import pagerank
 
-    spark = edge_stream.sparkSession
-
-    def on_batch(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        batch.select("src", "dst").write.mode("append").parquet(
-            f"{work_dir}/edges"
-        )
-        g = Graph.from_edges(
-            spark.read.parquet(f"{work_dir}/edges").distinct(),
-            directed=directed,
-        )
-        try:
-            # eager copy: the swap below replaces these files, and a
-            # lazy reference would fail on any later re-evaluation
-            prev = spark.read.parquet(f"{work_dir}/ranks").localCheckpoint(
-                eager=True
-            )
-        except Exception:
-            prev = None
-        ranks = pagerank(
+    def compute(g, prev):
+        return pagerank(
             g, alpha=alpha, tol=tol, max_iter=max_iter, init_ranks=prev
         )
-        # stage then swap: a crash mid-write never corrupts ranks/
-        ranks.write.mode("overwrite").parquet(f"{work_dir}/ranks_next")
-        import shutil
 
-        shutil.rmtree(f"{work_dir}/ranks", ignore_errors=True)
-        shutil.move(f"{work_dir}/ranks_next", f"{work_dir}/ranks")
-
-    return (
-        edge_stream.writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", f"{work_dir}/_stream_ckpt")
-        .trigger(availableNow=True)
-        .start()
+    return _incremental_graph_stream(
+        edge_stream, work_dir, "ranks", compute,
+        graph_directed=directed,
     )
 
 
@@ -228,40 +263,12 @@ def incremental_wcc(
     stale minima that min-propagation can never raise.  After any
     delete/compaction, remove the saved labeling so the next batch
     cold-starts."""
-    from ..graph import Graph
     from ..operators.wcc import wcc
 
-    spark = edge_stream.sparkSession
-
-    def on_batch(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        batch.select("src", "dst").write.mode("append").parquet(
-            f"{work_dir}/edges"
-        )
-        g = Graph.from_edges(
-            spark.read.parquet(f"{work_dir}/edges").distinct(),
-            directed=directed,
-        )
-        try:
-            # eager copy — see incremental_pagerank
-            prev = spark.read.parquet(f"{work_dir}/comps").localCheckpoint(
-                eager=True
-            )
-        except Exception:
-            prev = None
-        comps = wcc(g, init_labels=prev)
-        comps.write.mode("overwrite").parquet(f"{work_dir}/comps_next")
-        import shutil
-
-        shutil.rmtree(f"{work_dir}/comps", ignore_errors=True)
-        shutil.move(f"{work_dir}/comps_next", f"{work_dir}/comps")
-
-    return (
-        edge_stream.writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", f"{work_dir}/_stream_ckpt")
-        .trigger(availableNow=True)
-        .start()
+    return _incremental_graph_stream(
+        edge_stream, work_dir, "comps",
+        lambda g, prev: wcc(g, init_labels=prev),
+        graph_directed=directed,
     )
 
 
@@ -285,45 +292,28 @@ def incremental_cdlp(
     Maintains under ``work_dir``: ``edges/`` the accumulated edge log
     and ``labels/`` the current labeling.
     """
-    from ..graph import Graph
     from ..operators.cdlp import cdlp
 
-    spark = edge_stream.sparkSession
-
-    def on_batch(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        batch.select("src", "dst").write.mode("append").parquet(
-            f"{work_dir}/edges"
-        )
-        g = Graph.from_edges(
-            spark.read.parquet(f"{work_dir}/edges").distinct(),
-            directed=True,
-        )
-        if not directed:
-            # cdlp's undirected branch expects pre-symmetrized edges
-            # (the .undirected() contract) — symmetrize, don't just flag
-            g = g.undirected()
-        try:
-            # eager copy — see incremental_pagerank
-            prev = spark.read.parquet(f"{work_dir}/labels").localCheckpoint(
-                eager=True
-            )
-        except Exception:
-            prev = None
-        labels = cdlp(g, max_round=refine_rounds, init_labels=prev)
-        labels.write.mode("overwrite").parquet(f"{work_dir}/labels_next")
-        import shutil
-
-        shutil.rmtree(f"{work_dir}/labels", ignore_errors=True)
-        shutil.move(f"{work_dir}/labels_next", f"{work_dir}/labels")
-
-    return (
-        edge_stream.writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", f"{work_dir}/_stream_ckpt")
-        .trigger(availableNow=True)
-        .start()
+    return _incremental_graph_stream(
+        edge_stream, work_dir, "labels",
+        lambda g, prev: cdlp(
+            g, max_round=refine_rounds, init_labels=prev
+        ),
+        graph_directed=True,
+        symmetrize=not directed,
     )
+
+
+def triangle_total(spark: SparkSession, work_dir: str) -> int:
+    """Current triangle count of an :func:`incremental_triangles`
+    stream: the sum of the per-batch delta records."""
+    row = (
+        spark.read.option("basePath", f"{work_dir}/deltas")
+        .parquet(f"{work_dir}/deltas/batch=*")
+        .agg(F.sum("delta").alias("t"))
+        .first()
+    )
+    return int(row["t"] or 0)
 
 
 def triangle_delta(old: DataFrame | None, new: DataFrame) -> int:
@@ -381,9 +371,15 @@ def incremental_triangles(
     proportional to the batch against the accumulated adjacency,
     never a recount of the whole graph.
 
-    Maintains under ``work_dir``: ``edges/`` the accumulated canonical
-    edge log and ``count/`` a one-row running total
-    ``(triangles, delta, batch_id)``.
+    Crash-safe under foreachBatch's at-least-once contract because
+    every write is KEYED BY BATCH ID and overwrite-idempotent:
+    ``edges/batch=<id>/`` holds each batch's canonical novel edges
+    and ``deltas/batch=<id>/`` its one-row triangle delta — a replay
+    of batch k rewrites the identical content (the anti-join excludes
+    only OTHER batches' partitions, so re-appending is impossible and
+    nothing is lost if the process dies between the two writes).  The
+    running total is ``SUM(deltas)`` — read it with
+    :func:`triangle_total`, there is no mutable counter to corrupt.
     """
     spark = edge_stream.sparkSession
 
@@ -400,34 +396,34 @@ def incremental_triangles(
             .localCheckpoint(eager=True)
         )
         try:
-            old = spark.read.parquet(f"{work_dir}/edges").localCheckpoint(
-                eager=True
+            # prior log = every batch partition EXCEPT this one, so a
+            # replayed batch recomputes against the same "before"
+            # state it saw the first time (idempotent)
+            old = (
+                spark.read.option(
+                    "basePath", f"{work_dir}/edges"
+                ).parquet(f"{work_dir}/edges/batch=*")
+                .where(F.col("batch") != batch_id)
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
             )
-            new = new.join(old, ["src", "dst"], "left_anti").localCheckpoint(
-                eager=True
-            )
+            if old.isEmpty():
+                old = None
+            else:
+                new = new.join(
+                    old, ["src", "dst"], "left_anti"
+                ).localCheckpoint(eager=True)
         except Exception:
             old = None
-        if new.isEmpty():
-            return
-        delta = triangle_delta(old, new)
-        prev_total = 0
-        try:
-            prev_total = (
-                spark.read.parquet(f"{work_dir}/count").first()["triangles"]
-            )
-        except Exception:
-            pass
-        total = prev_total + delta
-        new.write.mode("append").parquet(f"{work_dir}/edges")
+        delta = 0 if new.isEmpty() else triangle_delta(old, new)
+        new.write.mode("overwrite").parquet(
+            f"{work_dir}/edges/batch={batch_id}"
+        )
         spark.createDataFrame(
-            [(int(total), int(delta), int(batch_id))],
-            "triangles long, delta long, batch_id long",
-        ).write.mode("overwrite").parquet(f"{work_dir}/count_next")
-        import shutil
-
-        shutil.rmtree(f"{work_dir}/count", ignore_errors=True)
-        shutil.move(f"{work_dir}/count_next", f"{work_dir}/count")
+            [(int(delta), int(batch_id))], "delta long, batch_id long"
+        ).write.mode("overwrite").parquet(
+            f"{work_dir}/deltas/batch={batch_id}"
+        )
 
     return (
         edge_stream.writeStream.foreachBatch(on_batch)

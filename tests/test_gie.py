@@ -110,3 +110,15 @@ def test_tags_and_path_ride_through_edge_steps(spark):
     # bothV keeps tags too (one traverser per endpoint)
     n = g.V(2).as_("a").outE().bothV().select_("a").count()
     assert n == 2
+
+
+def test_edge_source_path_tracking(spark):
+    from graphscope_spark.gremlin import gremlin
+
+    g = traversal(_g(spark))
+    paths = sorted(tuple(r["path"]) for r in g.E(track_path=True)
+                   .otherV().path().collect())
+    assert paths == [(0, 1), (0, 2), (1, 2), (2, 3), (3, 0)]
+    # and through the string front-end
+    df = gremlin(_g(spark), "g.E().otherV().path()")
+    assert sorted(tuple(r["path"]) for r in df.collect()) == paths

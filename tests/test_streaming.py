@@ -212,11 +212,16 @@ def test_incremental_triangles_delta(spark, tmp_path):
         read_edge_stream(spark, src, max_files_per_trigger=1), work
     )
     q.awaitTermination(300)
-    row = spark.read.parquet(f"{work}/count").first()
+    from graphscope_spark.streaming.edge_stream import triangle_total
     # total: {0,1,2} from batch 1 + {3,4,5} from batch 2 (edge 1-0 is
     # a duplicate of 0-1 and must be ignored)
-    assert row["triangles"] == 2, row
-    assert row["delta"] == 1
+    assert triangle_total(spark, work) == 2
+    # per-batch delta records are the commit unit (replay-idempotent:
+    # each batch overwrites ITS OWN partition) — re-running the same
+    # stream over the same source adds nothing
+    q2 = incremental_triangles(read_edge_stream(spark, src), work)
+    q2.awaitTermination(300)
+    assert triangle_total(spark, work) == 2
 
 
 def test_triangle_delta_cases(spark):
