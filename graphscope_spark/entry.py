@@ -1963,10 +1963,15 @@ def q_harmonic_sample(spark, sf_dir):
 def _harmonic_sample_sql(rounds: int = 5) -> str:
     base = _apsp_sample_sql(rounds)
     prefix = base.rsplit("\nSELECT", 1)[0]
+    # LEFT JOIN from the source sample: every requested vertex gets a
+    # row, hc = 0.0 when it reaches nothing (operator convention)
     return (
         prefix
-        + f"\nSELECT source AS id, round(sum(1.0/dist), 6) AS hc"
-        f" FROM f{rounds} WHERE dist > 0 GROUP BY source"
+        + f",\nhc AS (SELECT source AS id, round(sum(1.0/dist), 6) AS hc"
+        f" FROM f{rounds} WHERE dist > 0 GROUP BY source)"
+        "\nSELECT v.id, coalesce(h.hc, 0.0) AS hc"
+        "\nFROM (SELECT id FROM verts WHERE id % 31 = 0) v"
+        "\nLEFT JOIN hc h ON h.id = v.id"
     )
 
 
@@ -3939,10 +3944,11 @@ def _voterank_sql(num_seeds: int = 10) -> str:
         "a0 AS (SELECT id, 1.0::DOUBLE AS va FROM verts)",
     ]
     for r in range(num_seeds):
+        # NetworkX direction: score(n) = Σ ability of OUT-neighbors
         parts.append(
-            f"s{r} AS (SELECT e.dst AS id, sum(a.va) AS score\n"
-            f"        FROM dedges e JOIN a{r} a ON a.id = e.src"
-            f" GROUP BY e.dst)"
+            f"s{r} AS (SELECT e.src AS id, sum(a.va) AS score\n"
+            f"        FROM dedges e JOIN a{r} a ON a.id = e.dst"
+            f" GROUP BY e.src)"
         )
         excl = " AND ".join(
             f"s.id NOT IN (SELECT id FROM w{i})" for i in range(r)
@@ -4050,9 +4056,7 @@ _REGISTRY_ORDER = [
     "minhash_groups", "minhash_lsh", "embedding_near_dup",
     "ngram_jaccard", "dedup_exact",
     "embedding_topk", "rel_semijoin",
-    # new in round 3
-    "bridges", "cut_points", "bcc", "msf", "core_numbers", "bfs_pred",
-    "bfs_succ",
+    "bfs_pred", "bfs_succ",
     "k5_count", "min_cover", "min_dominating",
     "three_path", "tailed_tri", "diamond",
     # multi_source_sssp loop changed late r4 (persist-handle cleanup
@@ -4060,7 +4064,14 @@ _REGISTRY_ORDER = [
     # window: apsp_full is above; these are the rest
     "apsp_sample", "sssp_avg_length", "closeness_sample",
     "closeness_full", "harmonic_sample",
-    "coloring", "onion_layers", "degeneracy", "min_edge_cover",
+    # third self-review batch changed these operators — all re-enter
+    # the window: bfs/sssp/has_path loop cleanup, sssp_path edge-table
+    # reuse, Brandes shared forward sweep, voterank NetworkX voting
+    # direction, fluid storage-agnostic undirected edges, ppr empty
+    # guard
+    "bfs", "sssp", "sssp_path", "sssp_has_path",
+    "betweenness_sample", "edge_betweenness_sample",
+    "voterank", "fluid", "ppr",
     "tri_variants",
     "ann_ivf", "louvain", "modularity",
     "node2vec_walks", "skipgram_pairs",
@@ -4080,19 +4091,20 @@ _REGISTRY_ORDER = [
     # pushed everything from scc onward past the first-50 window —
     # all of it r2/r3-green with operators unchanged in r4, so the
     # window rule (changed operators verified this round) holds ----
-    "scc", "betweenness_sample",
-    "lcc", "kcore", "kshell", "mis", "matching", "ppr", "articlerank",
+    "scc",
+    "lcc", "kcore", "kshell", "mis", "matching", "articlerank",
     "diameter_approx", "densest_sub",
-    "clustering_directed", "sssp_path", "sssp_has_path",
+    "clustering_directed",
     "lpa_u2i", "rect_count",
-    # (rotated out in r4: text_stats/lang_id/doc_fingerprint/simhash/
-    # khop2, edge_betweenness_sample, voterank, and — late r4, for
-    # the multi_source_sssp consumers above — k_center/is_simple_path/
-    # path_sample/simple_paths/fluid: green in earlier rounds,
-    # operator modules untouched in r4)
+    # (rotated out across late r4 — all green in earlier rounds with
+    # their implementing functions untouched in r4: text_stats/
+    # lang_id/doc_fingerprint/simhash/khop2, k_center/is_simple_path/
+    # path_sample/simple_paths, and — for the third-review-batch
+    # rotations above — bridges/cut_points/bcc/msf/core_numbers/
+    # coloring/onion_layers/degeneracy/min_edge_cover)
     "k_center", "is_simple_path", "path_sample", "simple_paths",
-    "fluid",
-    "edge_betweenness_sample", "voterank",
+    "bridges", "cut_points", "bcc", "msf", "core_numbers",
+    "coloring", "onion_layers", "degeneracy", "min_edge_cover",
     # rotated out late r4 for node2vec_walks/skipgram_pairs:
     # link_jaccard/link_pa — r3-green, linkpred.py untouched in r4
     "link_jaccard", "link_pa",
@@ -4100,7 +4112,7 @@ _REGISTRY_ORDER = [
     # repetition_stats — r3-green, text.py untouched — rotated out
     # late r4 for the new gremlin_2hop_bag string-front-end query
     "repetition_stats",
-    "pii_scrub", "bfs", "sssp",
+    "pii_scrub",
     # rotated out late r4 for triangles/tri_count (plan change):
     # decontaminate/stratified_sample — r3-green, curation.py
     # untouched in r4, both pytest-covered

@@ -134,12 +134,31 @@ class Graph:
         )
         vmap.count()        # materialize the dictionary once ...
         tagged.unpersist()  # ... then drop the tagged oid cache
+        # map through unambiguous temp names: renaming vmap's id onto
+        # src/dst directly breaks when the input's string columns are
+        # ALREADY named src/dst (the defaults!) — the rename creates
+        # duplicate column names and the final select raises
+        # AMBIGUOUS_REFERENCE
         e = (
-            edges.join(vmap.withColumnRenamed("oid", src_col), src_col)
-            .withColumnRenamed("id", "src")
-            .join(vmap.withColumnRenamed("oid", dst_col), dst_col)
-            .withColumnRenamed("id", "dst")
-            .select("src", "dst", *[c for c in edges.columns if c not in (src_col, dst_col)])
+            edges.join(
+                vmap.select(
+                    F.col("oid").alias(src_col),
+                    F.col("id").alias("_src_id"),
+                ),
+                src_col,
+            )
+            .join(
+                vmap.select(
+                    F.col("oid").alias(dst_col),
+                    F.col("id").alias("_dst_id"),
+                ),
+                dst_col,
+            )
+            .select(
+                F.col("_src_id").alias("src"),
+                F.col("_dst_id").alias("dst"),
+                *[c for c in edges.columns if c not in (src_col, dst_col)],
+            )
         )
         g = cls.from_edges(e, directed=directed,
                            vertices=vmap.select("id"),

@@ -55,12 +55,14 @@ def edge_betweenness_centrality(
         return _edge_betweenness(graph, sources, normalized, max_depth)
 
 
-def _edge_betweenness(
-    graph: Graph,
-    sources: DataFrame | None,
-    normalized: bool,
-    max_depth: int,
-) -> DataFrame:
+def _forward_sigma_levels(
+    graph: Graph, sources: DataFrame | None, max_depth: int
+):
+    """Shared Brandes forward sweep (previously copy-pasted between
+    the vertex and edge variants): per-source BFS levels with
+    shortest-path counts.  Returns ``(edges, n, levels)`` where
+    ``levels[d]`` holds ``(source, id, sigma)`` for depth-d vertices.
+    """
     directed = graph.directed
     edges = (graph.edges if directed else graph.symmetrized_edges()).select(
         "src", "dst"
@@ -93,6 +95,17 @@ def _edge_betweenness(
         visited = visited.unionByName(
             cand.select("source", "id")
         ).localCheckpoint(eager=True)
+    return edges, n, levels
+
+
+def _edge_betweenness(
+    graph: Graph,
+    sources: DataFrame | None,
+    normalized: bool,
+    max_depth: int,
+) -> DataFrame:
+    directed = graph.directed
+    edges, n, levels = _forward_sigma_levels(graph, sources, max_depth)
 
     spark = graph.vertices.sparkSession
     maxd = len(levels) - 1
@@ -196,38 +209,8 @@ def _betweenness(
     max_depth: int,
 ) -> DataFrame:
     directed = graph.directed
-    edges = (graph.edges if directed else graph.symmetrized_edges()).select(
-        "src", "dst"
-    )
-    if graph.num_partitions:
-        edges = edges.repartition(graph.num_partitions, "src")
-    edges = edges.localCheckpoint(eager=True)
-    n = graph.vertices.count()
-
-    seeds = graph.vertices if sources is None else sources
-    seeds = seeds.select(F.col(seeds.columns[0]).cast("long").alias("source"))
-
-    # ---- forward: BFS levels with shortest-path counts (sigma) -----
-    lv0 = seeds.select(
-        "source", F.col("source").alias("id"), F.lit(1.0).alias("sigma")
-    ).localCheckpoint(eager=True)
-    levels: list[DataFrame] = [lv0]
-    visited = lv0.select("source", "id").localCheckpoint(eager=True)
-    for _ in range(max_depth):
-        front = levels[-1]
-        cand = (
-            edges.join(front.withColumnRenamed("id", "src"), "src")
-            .groupBy("source", F.col("dst").alias("id"))
-            .agg(F.sum("sigma").alias("sigma"))
-            .join(visited, ["source", "id"], "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        if cand.limit(1).count() == 0:
-            break
-        levels.append(cand)
-        visited = visited.unionByName(
-            cand.select("source", "id")
-        ).localCheckpoint(eager=True)
+    # forward: BFS levels with shortest-path counts (shared sweep)
+    edges, n, levels = _forward_sigma_levels(graph, sources, max_depth)
 
     # ---- backward: dependency accumulation level by level ----------
     spark = graph.vertices.sparkSession

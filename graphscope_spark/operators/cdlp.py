@@ -66,8 +66,12 @@ def cdlp(
             graph.reversed_edges().select("src", "dst")
         )
     else:
-        # undirected graph: edges already symmetrized, each neighbor once
-        msgs_edges = graph.edges.select("src", "dst")
+        # undirected: one message per (neighbor, direction) pair.
+        # symmetrized_edges (dedup) is storage-agnostic — identical
+        # multiset whether the table holds one direction or both
+        # (previously graph.edges as-is: a one-direction table
+        # silently dropped half the label messages)
+        msgs_edges = graph.symmetrized_edges().select("src", "dst")
     msgs_edges = msgs_edges.where(F.col("src") != F.col("dst"))
     if graph.num_partitions:
         msgs_edges = msgs_edges.repartition(graph.num_partitions, "src")

@@ -265,10 +265,21 @@ def harmonic_centrality(
         d = apsp_lengths(rev, sources=sources)
     else:
         d = apsp_lengths(graph, sources=sources, symmetrize=True)
-    return (
+    hc = (
         d.where(F.col("dist") > 0)
         .groupBy(F.col("source").alias("id"))
         .agg(F.sum(1.0 / F.col("dist")).alias("hc"))
+    )
+    # every requested vertex gets a row — isolated/unreaching
+    # vertices score 0.0 (NetworkX; closeness_centrality in this
+    # module follows the same every-vertex convention)
+    seeds = (
+        sources.select(F.col(sources.columns[0]).alias("id")).distinct()
+        if sources is not None
+        else graph.vertices.select("id")
+    )
+    return seeds.join(hc, "id", "left").select(
+        "id", F.coalesce("hc", F.lit(0.0)).alias("hc")
     )
 
 

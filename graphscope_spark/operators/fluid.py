@@ -71,7 +71,9 @@ def fluid_community(
             .distinct()
         )
     else:
-        edges = graph.edges.select("src", "dst")
+        # storage-agnostic: identical whether the undirected table
+        # holds one direction or both (see operators/cdlp.py)
+        edges = graph.symmetrized_edges().select("src", "dst")
     edges = edges.where(F.col("src") != F.col("dst"))
     if graph.num_partitions:
         edges = edges.repartition(graph.num_partitions, "src")

@@ -557,9 +557,13 @@ def voterank(graph: Graph, num_seeds: int = 10) -> DataFrame:
     elected_ids: set[int] = set()
     spark = graph.vertices.sparkSession
     for rank in range(num_seeds):
+        # NetworkX direction: for edge (n, nbr), n's score gains
+        # nbr's ability — score(n) = Σ va over OUT-neighbors (the
+        # earlier in-neighbor sum was inverted on directed graphs;
+        # identical by symmetry on undirected ones)
         scores = (
-            edges.join(ability.withColumnRenamed("id", "src"), "src")
-            .groupBy(F.col("dst").alias("id"))
+            edges.join(ability.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
             .agg(F.sum("va").alias("score"))
         )
         if elected_ids:

@@ -112,11 +112,12 @@ def personalized_pagerank(
         base_v = deg.withColumn("dangling", F.col("deg") == 0)
         base_v = base_v.persist(StorageLevel.MEMORY_AND_DISK)
         n = base_v.count()
+        if n == 0:
+            return base_v.select("id", F.lit(0.0).alias("rank"))
         state = base_v.select(
             "id",
             F.when(F.col("id") == int(source), 1.0).otherwise(0.0).alias("rank"),
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        dangling_sum = 0.0 if n else 0.0
         dangling_sum = (
             state.join(base_v.where("dangling").select("id"), "id",
                        "left_semi")

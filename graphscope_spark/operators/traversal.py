@@ -62,6 +62,7 @@ def _bfs_loop(graph, source, depth_limit, symmetrize, checkpoint):
     state = spark.createDataFrame([(int(source), 0)], "id long, depth long")
     frontier = state
     depth = 0
+    persisted: list[DataFrame] = []  # frames backing state/frontier
     while frontier.limit(1).count() > 0:
         depth += 1
         if depth_limit is not None and depth > depth_limit:
@@ -81,6 +82,14 @@ def _bfs_loop(graph, source, depth_limit, symmetrize, checkpoint):
             depth,
             5,
         )
+        # materialize the new state, then release the previous
+        # rounds' frames — without this a diameter-D graph left 2·D
+        # persisted frames (each state a full copy of the reached
+        # set) in the block store for the whole session
+        state.count()
+        for f in persisted:
+            f.unpersist()
+        persisted = [frontier, state]
         if checkpoint is not None:
             checkpoint.save(
                 depth - 1, state,
@@ -151,13 +160,9 @@ def sssp(
 
 
 def _sssp_loop(graph, source, weight_col, max_iter, symmetrize, checkpoint):
-    e = graph.symmetrized_edges(dedup=False) if symmetrize else graph.edges
-    if weight_col not in e.columns:
-        e = e.withColumn(weight_col, F.lit(1.0))
-    edges = e.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
-    if graph.num_partitions:
-        edges = edges.repartition(graph.num_partitions, "src")
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    edges = _sssp_edge_table(graph, weight_col, symmetrize).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     spark = graph.vertices.sparkSession
     state = spark.createDataFrame([(int(source), 0.0)], "id long, dist double")
@@ -227,10 +232,7 @@ def sssp_path(
     fp64), which is the engine's convention for derived weights.
     ``pred`` is NULL for the source itself.
     """
-    e = graph.symmetrized_edges(dedup=False) if symmetrize else graph.edges
-    if weight_col not in e.columns:
-        e = e.withColumn(weight_col, F.lit(1.0))
-    edges = e.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
+    edges = _sssp_edge_table(graph, weight_col, symmetrize)
     dist = sssp(graph, source, weight_col, max_iter, symmetrize)
     du = dist.select(F.col("id").alias("src"), F.col("dist").alias("du"))
     dv = dist.select(F.col("id").alias("id"), "dist")
@@ -271,27 +273,40 @@ def sssp_has_path(
     spark = graph.vertices.sparkSession
     state = spark.createDataFrame([(int(source),)], "id long")
     frontier = state
-    for _ in range(max_iter):
-        cand = (
-            edges.join(frontier.withColumnRenamed("id", "src").select("src"),
-                       "src")
-            .select(F.col("dst").alias("id"))
-            .distinct()
-            .join(state, "id", "left_anti")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        # ONE action per superstep: frontier size + target-hit together
-        row = cand.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.max((F.col("id") == int(target)).cast("int")).alias("hit"),
-        ).collect()[0]
-        if row["hit"]:
-            return True
-        if row["n"] == 0:
-            return False
-        state = state.unionByName(cand).persist(StorageLevel.MEMORY_AND_DISK)
-        frontier = cand
-    return False
+    # a bool escapes this function, nothing lazy — every persisted
+    # frame can be released on ANY exit path (previously they all
+    # stayed in the block store until session end)
+    persisted: list[DataFrame] = [edges]
+    try:
+        for _ in range(max_iter):
+            cand = (
+                edges.join(
+                    frontier.withColumnRenamed("id", "src").select("src"),
+                    "src")
+                .select(F.col("dst").alias("id"))
+                .distinct()
+                .join(state, "id", "left_anti")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            persisted.append(cand)
+            # ONE action per superstep: frontier size + target-hit
+            row = cand.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max((F.col("id") == int(target)).cast("int")).alias("hit"),
+            ).collect()[0]
+            if row["hit"]:
+                return True
+            if row["n"] == 0:
+                return False
+            state = state.unionByName(cand).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            persisted.append(state)
+            frontier = cand
+        return False
+    finally:
+        for f in persisted:
+            f.unpersist()
 
 
 def multi_source_sssp(
@@ -497,9 +512,7 @@ def apsp_full_lengths(
     # per-batch state frames released at every hard lineage cut —
     # without this the block store grows with batch_count, the
     # opposite of what the memory knob promises
-    shared_edges = None
-    if batch_count > 1:
-        shared_edges = _sssp_edge_table(graph, "__hop__", symmetrize).persist()
+    shared_edges = _sssp_edge_table(graph, "__hop__", symmetrize).persist()
     out: DataFrame | None = None
     pending_frames: list[DataFrame] = []
     for b in range(batch_count):
@@ -518,11 +531,11 @@ def apsp_full_lengths(
             for f in pending_frames:
                 f.unpersist()
             pending_frames = []
-    if batch_count > 1:
-        # final hard cut materializes the result, then every upstream
-        # frame (including the shared edge table) can be released
-        out = out.localCheckpoint(eager=True)
-        for f in pending_frames:
-            f.unpersist()
-        shared_edges.unpersist()
+    # final hard cut materializes the result (also on the single-batch
+    # path — previously that path skipped ALL cleanup), then every
+    # upstream frame including the shared edge table can be released
+    out = out.localCheckpoint(eager=True)
+    for f in pending_frames:
+        f.unpersist()
+    shared_edges.unpersist()
     return out

@@ -74,3 +74,27 @@ def test_repo_dictionary_roundtrip(spark, code_df, code_rows):
     d = {r["token"]: r["repo"] for r in repo_dictionary(code_df).collect()}
     for row in code_rows:
         assert d[repo_token(row["repo"])] == row["repo"]
+
+
+def test_from_string_edges_default_column_names(spark):
+    """The defaults src_col='src'/dst_col='dst' — i.e. a string edge
+    table whose columns are literally src/dst — must work (previously
+    renaming vmap's id onto the existing column raised
+    AMBIGUOUS_REFERENCE)."""
+    from graphscope_spark.graph import Graph
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    g, vmap = Graph.from_string_edges(edges)
+    ids = {r["oid"]: r["id"] for r in vmap.collect()}
+    assert set(ids) == {"a", "b", "c"}
+    got = {(r["src"], r["dst"]) for r in g.edges.collect()}
+    want = {(ids["a"], ids["b"]), (ids["b"], ids["c"]), (ids["a"], ids["c"])}
+    assert got == want
+    # extra columns ride through
+    edges2 = spark.createDataFrame(
+        [("a", "b", 2.0)], "src string, dst string, w double"
+    )
+    g2, vmap2 = Graph.from_string_edges(edges2)
+    assert g2.edges.columns == ["src", "dst", "w"]

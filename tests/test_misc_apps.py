@@ -88,8 +88,10 @@ def _voterank_oracle(vertices, edges, num_seeds):
     va = {v: 1.0 for v in vertices}
     elected = []
     for _ in range(num_seeds):
+        # NetworkX: for edge (n, nbr) vote_rank[n] += va[nbr] —
+        # score(v) sums the abilities of v's OUT-neighbors
         score = {
-            v: sum(va[u] for u in in_nbrs[v])
+            v: sum(va[u] for u in out_nbrs[v])
             for v in vertices
             if v not in set(elected)
         }
