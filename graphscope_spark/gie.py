@@ -50,16 +50,33 @@ class Traversal:
     # ---------------------------------------------------------- filters
     def has(self, column: str, value=None) -> "Traversal":
         """``has('prop', v)`` — property equality (or non-null when
-        ``value`` is None); accepts a Column predicate too."""
+        ``value`` is None); accepts a Column predicate too.
+
+        Vertex traversals carry only ``id`` (+ tags/path), so a vertex
+        property is joined in from the vertex table on demand and
+        dropped again after the filter — the canonical
+        ``g.V().has('color', 'red').out()...`` works at any hop."""
         if isinstance(value, Column):
             pred = value
         elif value is None:
             pred = F.col(column).isNotNull()
         else:
             pred = F.col(column) == F.lit(value)
-        return Traversal(
-            self._g, self._df.where(pred), self._kind, self._anchor
-        )
+        df = self._df
+        joined_prop = False
+        if (
+            self._kind == "v"
+            and column not in df.columns
+            and column in self._g.vertices.columns
+        ):
+            df = df.join(
+                self._g.vertices.select("id", column), "id", "left"
+            )
+            joined_prop = True
+        df = df.where(pred)
+        if joined_prop:
+            df = df.drop(column)
+        return Traversal(self._g, df, self._kind, self._anchor)
 
     def hasId(self, *ids) -> "Traversal":
         key = "id" if self._kind == "v" else self._anchor
@@ -119,9 +136,28 @@ class Traversal:
     def both(self, label: str | None = None) -> "Traversal":
         return Traversal(
             self._g,
-            self._hop(self._g.symmetrized_edges(), "src", "dst", label),
+            self._hop(self._both_edges(), "src", "dst", label),
             "v",
         )
+
+    def _both_edges(self) -> DataFrame:
+        """Both-direction edge multiset with BAG semantics — one row
+        per INCIDENT EDGE per direction.  Directed: fwd+rev without
+        dedup, so reciprocal edges (u→v AND v→u) stay two incident
+        edges (dedup collapsed them, under-counting traversers).
+        Undirected: dedup'd symmetrization — storage-agnostic (one or
+        both directions on disk), each unordered edge once per side.
+        Self-loops (dropped by symmetrized_edges) are traversed twice,
+        once per loop end (TinkerPop)."""
+        if self._g.directed:
+            e = self._g.symmetrized_edges(dedup=False)
+        else:
+            e = self._g.symmetrized_edges()
+        loops = self._g.edges.where(F.col("src") == F.col("dst"))
+        if not self._g.directed:
+            loops = loops.dropDuplicates(["src", "dst"])
+        loops = loops.select(*e.columns)
+        return e.unionByName(loops).unionByName(loops)
 
     def outE(self) -> "Traversal":
         assert self._kind == "v"
@@ -141,7 +177,7 @@ class Traversal:
         assert self._kind == "v"
         e = self._df.select(
             F.col("id").alias("src"), *self._carry()
-        ).join(self._g.symmetrized_edges(), "src")
+        ).join(self._both_edges(), "src")
         return Traversal(self._g, e, "e", anchor="src")
 
     def _land(self, endpoint: str) -> list:
@@ -227,9 +263,18 @@ class Traversal:
         ``rand()`` draw."""
         from .functions.text import h60
 
-        key = "id" if self._kind == "v" else self._anchor
+        if self._kind == "v":
+            key = F.col("id").cast("string")
+        else:
+            # hash the EDGE, not the anchored endpoint: anchoring
+            # would keep/drop a vertex's whole incident-edge block
+            # together (wildly off-p on hub-skewed graphs)
+            key = F.concat_ws(
+                ":", F.col("src").cast("string"),
+                F.col("dst").cast("string"),
+            )
         keep = h60(
-            F.concat(F.lit("coin:"), F.col(key).cast("string"))
+            F.concat(F.lit("coin:"), key)
         ) < F.lit(int(p * float(1 << 60)))
         return Traversal(
             self._g, self._df.where(keep), self._kind, self._anchor
@@ -237,9 +282,17 @@ class Traversal:
 
     # ----------------------------------------------------------- shape
     def dedup(self) -> "Traversal":
-        return Traversal(
-            self._g, self._df.distinct(), self._kind, self._anchor
+        """Gremlin ``dedup()``: one traverser per CURRENT element —
+        with path tracking or tags active, dedup still collapses by
+        the element (an arbitrary surviving traverser keeps its
+        path/tags, as in TinkerPop); without carry columns it is a
+        plain distinct."""
+        key = ["id"] if self._kind == "v" else ["src", "dst"]
+        extra = [c for c in self._df.columns if c not in key]
+        df = (
+            self._df.dropDuplicates(key) if extra else self._df.distinct()
         )
+        return Traversal(self._g, df, self._kind, self._anchor)
 
     def limit(self, n: int) -> "Traversal":
         # deterministic: Gremlin's limit is arbitrary-order; ours

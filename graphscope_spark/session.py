@@ -56,7 +56,13 @@ def get_spark(
     if shuffle_partitions is None:
         # one shuffle wave per superstep on local mode
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "*"
-        shuffle_partitions = os.cpu_count() if n in ("*", "") else int(n)
+        # local[N,maxFailures] is valid Spark syntax — take the core
+        # count field; fall back to cpu_count on anything unparsable
+        n = n.split(",", 1)[0].strip()
+        try:
+            shuffle_partitions = os.cpu_count() if n in ("*", "") else int(n)
+        except ValueError:
+            shuffle_partitions = os.cpu_count()
     confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_confs:
         confs.update(extra_confs)

@@ -60,6 +60,7 @@ def main() -> None:
 
     alpha = 0.85
     state = base_v.select("id", F.lit(1.0 / n).alias("rank")).persist()
+    prev_backing = state
     state.count()
     dangling_sum = 0.0
     secs = []
@@ -91,8 +92,12 @@ def main() -> None:
                   .otherwise(0.0)).alias("d")
         ).collect()[0]
         dangling_sum = (row["d"] or 0.0) * alpha
-        state.unpersist()
+        # unpersist the BACKING frame — `state` is a projection after
+        # round 0 and its unpersist was a no-op (every round leaked a
+        # persisted |V|-row table, distorting the probe's numbers)
+        prev_backing.unpersist()
         state = new_state.select("id", "rank")
+        prev_backing = new_state
         secs.append(time.time() - t0)
 
     warm = sorted(secs[1:] or secs)

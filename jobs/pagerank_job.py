@@ -35,22 +35,12 @@ from graphscope_spark.session import get_spark  # noqa: E402
 
 
 def synthetic_edges(spark, m: int, n: int, seed: int = 42):
-    """Deterministic power-law-ish directed graph, generated
-    distributed: src uniform over [0,n); dst = n·u³ (u uniform from a
-    hash), concentrating in-degree on low ids (hub skew like a real
-    link graph).  Self-loops dropped."""
-    e = spark.range(m).select(
-        F.pmod(F.xxhash64(F.col("id") + seed), n).alias("src"),
-        F.floor(
-            n
-            * F.pow(
-                F.pmod(F.xxhash64(F.col("id") + seed + 1), 1 << 20)
-                / float(1 << 20),
-                3.0,
-            )
-        ).cast("long").alias("dst"),
-    )
-    return e.where(F.col("src") != F.col("dst"))
+    """The shared power-law generator at k=3 — one construction for
+    the scaling protocol, bench big leg, and skew jobs (was a
+    hand-maintained copy that could silently desynchronize them)."""
+    from graphscope_spark.sources.synthetic import gen_powerlaw_edges_df
+
+    return gen_powerlaw_edges_df(spark, m, n, k=3.0, seed=seed)
 
 
 def main() -> None:
@@ -94,11 +84,22 @@ def main() -> None:
         adj = spark.read.parquet(args.adj).repartition(
             n_part, "src"
         ).persist()
-        # vertex base from the adjacency's own key set: every vertex in
-        # the synthetic graph appears as a src (uniform src draw)
-        base_v = adj.select(
-            F.col("src").alias("id"),
-            F.col("degree").cast("long").alias("deg"),
+        # vertex base: prefer the sibling vertices table --write-adj
+        # now stores (it includes SINK vertices, which have no
+        # adjacency row — deriving the base from src keys dropped
+        # them: n undercounted, their incoming mass was discarded,
+        # and dangling redistribution was structurally dead)
+        try:
+            vsrc = spark.read.parquet(args.adj + "_vertices")
+        except Exception:
+            # legacy adjacency without the sibling table — src-key
+            # fallback, correct only when every vertex has out-edges
+            vsrc = adj.select(
+                F.col("src").alias("id"),
+                F.col("degree").cast("long").alias("deg"),
+            )
+        base_v = vsrc.select(
+            "id", F.col("deg").cast("long").alias("deg")
         ).withColumn("dangling", F.col("deg") == 0).repartition(
             n_part, "id"
         ).persist()
@@ -115,6 +116,10 @@ def main() -> None:
         adj = g.adjacency("out", cache=True)
         if args.write_adj:
             adj.write.mode("overwrite").parquet(args.write_adj)
+            # sibling vertex table so the --adj path keeps sinks
+            g.out_degrees().withColumnRenamed(
+                "out_degree", "deg"
+            ).write.mode("overwrite").parquet(args.write_adj + "_vertices")
             print(json.dumps({"job": "build-adj", "path": args.write_adj}))
             spark.stop()
             return
@@ -126,6 +131,7 @@ def main() -> None:
 
     alpha = 0.85
     state = base_v.select("id", F.lit(1.0 / n).alias("rank")).persist()
+    prev_backing = state
     dangling_sum = (
         state.join(base_v.where("dangling").select("id"), "id", "left_semi")
         .agg(F.sum("rank")).collect()[0][0] or 0.0
@@ -169,7 +175,11 @@ def main() -> None:
             ).collect()[0]
         )
         dangling_sum = (row["dsum"] or 0.0) * alpha
-        state.unpersist()
+        # release the frame BACKING the previous state (after round 0
+        # `state` is a projection; unpersisting the projection is a
+        # no-op and 2 of every 3 rounds leaked a persisted |V|-row
+        # table for the life of the job)
+        prev_backing.unpersist()
         # keep lineage bounded without paying a full state rewrite every
         # round: the persisted new_state is already materialized by the
         # metric collect; localCheckpoint (block rewrite) every 3rd
@@ -179,8 +189,10 @@ def main() -> None:
                 eager=True
             )
             new_state.unpersist()
+            prev_backing = state
         else:
             state = new_state.select("id", "rank")
+            prev_backing = new_state
         superstep_secs.append(time.time() - t1)
 
     avg = sum(superstep_secs) / len(superstep_secs)

@@ -122,3 +122,35 @@ def test_edge_source_path_tracking(spark):
     # and through the string front-end
     df = gremlin(_g(spark), "g.E().otherV().path()")
     assert sorted(tuple(r["path"]) for r in df.collect()) == paths
+
+
+def test_vertex_property_has_and_dedup_with_path(spark):
+    g = traversal(_g(spark))
+    # canonical g.V().has('prop', v) joins the property in on demand
+    assert sorted(g.V().has("color", "red").toList()) == [0, 2]
+    # ... and still works after a hop
+    assert sorted(g.V().out().has("color", "red").dedup().toList()) == [0, 2]
+    # dedup collapses by CURRENT element even when paths diverge
+    n = g.V(0, 1, track_path=True).out().out().dedup().count()
+    assert n == g.V(0, 1).out().out().dedup().count()
+
+
+def test_both_bag_semantics_and_edge_coin(spark):
+    # reciprocal directed edges = TWO incident edges
+    e = spark.createDataFrame([(0, 1), (1, 0), (1, 2)], ["src", "dst"])
+    g = traversal(Graph.from_edges(e, directed=True))
+    got = {r["id"]: r["n"] for r in g.V(0).both().groupCount().collect()}
+    assert got == {1: 2}
+    assert g.V(1).both().count() == 3  # 0 twice + 2 once
+    # undirected storage-agnostic: one-direction table, each unordered
+    # edge once per side
+    gu = traversal(Graph.from_edges(
+        spark.createDataFrame([(0, 1)], ["src", "dst"]), directed=False))
+    assert gu.V(0).both().toList() == [1]
+    # edge coin hashes the edge, not the anchor: fractions differ
+    # per-edge on a star (the anchored hash kept all or none)
+    star = spark.createDataFrame([(0, i) for i in range(1, 30)],
+                                 ["src", "dst"])
+    gs = traversal(Graph.from_edges(star, directed=True))
+    kept = gs.V(0).outE().coin(0.5).count()
+    assert 0 < kept < 29

@@ -57,6 +57,12 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     qs, oracles = E.queries(), E.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name previously skipped EVERYTHING and printed
+        # "all OK" — a false-positive pass
+        print(f"unknown queries: {sorted(unknown)}", file=sys.stderr)
+        sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
