@@ -48,6 +48,12 @@ class Graph:
     edges: DataFrame
     directed: bool = True
     num_partitions: int | None = None
+    #: the edge table is KNOWN to hold both directions of every edge
+    #: (set by .undirected()) — lets undirected message passes (cdlp,
+    #: fluid) skip a redundant symmetrize+dedup shuffle; plain
+    #: from_edges(directed=False) leaves it False and those operators
+    #: symmetrize defensively (storage-agnostic correctness)
+    edges_symmetric: bool = False
     _cache: dict = field(default_factory=dict, repr=False)
 
     # ---------------------------------------------------------- build
@@ -188,10 +194,12 @@ class Graph:
         )
 
     def undirected(self) -> "Graph":
-        return Graph.from_edges(
+        g = Graph.from_edges(
             self.symmetrized_edges(), directed=False,
             vertices=self.vertices, num_partitions=self.num_partitions,
         )
+        g.edges_symmetric = True
+        return g
 
     # --------------------------------------------------------- degrees
     def out_degrees(self) -> DataFrame:

@@ -65,6 +65,10 @@ def cdlp(
         msgs_edges = graph.edges.select("src", "dst").unionByName(
             graph.reversed_edges().select("src", "dst")
         )
+    elif getattr(graph, "edges_symmetric", False):
+        # .undirected() guarantees both directions are stored —
+        # skip the defensive symmetrize+dedup shuffle
+        msgs_edges = graph.edges.select("src", "dst")
     else:
         # undirected: one message per (neighbor, direction) pair.
         # symmetrized_edges (dedup) is storage-agnostic — identical

@@ -70,6 +70,9 @@ def fluid_community(
             .unionByName(graph.reversed_edges().select("src", "dst"))
             .distinct()
         )
+    elif getattr(graph, "edges_symmetric", False):
+        # .undirected() stores both directions — skip the dedup
+        edges = graph.edges.select("src", "dst")
     else:
         # storage-agnostic: identical whether the undirected table
         # holds one direction or both (see operators/cdlp.py)
