@@ -1583,6 +1583,95 @@ def q_assortativity(spark, sf_dir):
     return spark.createDataFrame([(round(v, 6),)], "assortativity double")
 
 
+def q_attr_assortativity(spark, sf_dir):
+    """Categorical (attribute) assortativity of ``p_brand`` on the
+    directed co-order graph (reference
+    ``apps/assortativity/attribute_assortativity.h``, registry algo
+    ``attribute_assortativity_coefficient`` in ``.gs_conf.yaml``):
+    do same-brand parts co-order together more than chance?"""
+    from graphscope_spark.operators.misc import attribute_assortativity
+
+    verts, dedges = part_edges(spark, sf_dir)
+    attrs = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_brand").alias("brand")
+    )
+    g = Graph.from_edges(
+        dedges, directed=True, vertices=verts.join(attrs, "id")
+    )
+    v = attribute_assortativity(g, "brand")
+    return spark.createDataFrame(
+        [(round(v, 6),)], "attr_assortativity double"
+    )
+
+
+_ATTR_ASSORT_SQL = (
+    "WITH " + _G + """,
+att AS (SELECT p_partkey AS id, p_brand AS att FROM part),
+mix AS (SELECT sa.att AS xs, da.att AS xd, count(*)::BIGINT AS cnt
+        FROM dedges e JOIN att sa ON sa.id = e.src
+        JOIN att da ON da.id = e.dst
+        GROUP BY sa.att, da.att),
+aa AS (SELECT xs, sum(cnt)::BIGINT AS a FROM mix GROUP BY xs),
+bb AS (SELECT xd, sum(cnt)::BIGINT AS b FROM mix GROUP BY xd),
+tot AS (SELECT sum(cnt)::BIGINT AS m,
+               sum(CASE WHEN xs = xd THEN cnt ELSE 0 END)::BIGINT AS tr
+        FROM mix),
+sab AS (SELECT sum(a*b)::BIGINT AS s FROM aa JOIN bb ON bb.xd = aa.xs)
+SELECT round(((SELECT tr FROM tot) * (SELECT m FROM tot)
+              - (SELECT s FROM sab))::DOUBLE
+       / ((SELECT m FROM tot) * (SELECT m FROM tot)
+          - (SELECT s FROM sab))::DOUBLE, 6) AS attr_assortativity"""
+)
+
+
+def q_numeric_assortativity(spark, sf_dir):
+    """Numeric assortativity of ``p_size`` on the directed co-order
+    graph (reference ``attribute_assortativity.h`` with
+    ``numeric=true`` → ``utils.h`` ``ProcessMatrix`` = Pearson corr of
+    endpoint values; nx ``numeric_assortativity_coefficient``)."""
+    from graphscope_spark.operators.misc import numeric_assortativity
+
+    verts, dedges = part_edges(spark, sf_dir)
+    attrs = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_size").alias("size")
+    )
+    g = Graph.from_edges(
+        dedges, directed=True, vertices=verts.join(attrs, "id")
+    )
+    v = numeric_assortativity(g, "size")
+    return spark.createDataFrame(
+        [(round(v, 6),)], "numeric_assortativity double"
+    )
+
+
+_NUMERIC_ASSORT_SQL = (
+    "WITH " + _G + """,
+att AS (SELECT p_partkey AS id, p_size::DOUBLE AS att FROM part)
+SELECT round(corr(sa.att, da.att), 6) AS numeric_assortativity
+FROM dedges e JOIN att sa ON sa.id = e.src
+JOIN att da ON da.id = e.dst"""
+)
+
+
+def q_edge_boundary(spark, sf_dir):
+    """Edge boundary of S = {parts with id % 17 == 0} on the directed
+    co-order graph (reference ``apps/boundary/edge_boundary.h``; same
+    S as the ``boundary`` node-boundary query): out-edges of S landing
+    outside S."""
+    from graphscope_spark.operators.misc import edge_boundary
+
+    g = part_graph(spark, sf_dir)
+    sset = g.vertices.where(F.col("id") % 17 == 0)
+    return edge_boundary(g, sset)
+
+
+_EDGE_BOUNDARY_SQL = (
+    "WITH " + _G + "\n"
+    + "SELECT DISTINCT src, dst FROM dedges\n"
+      "WHERE src % 17 = 0 AND dst % 17 <> 0"
+)
+
+
 def q_boundary(spark, sf_dir):
     from graphscope_spark.operators.misc import node_boundary
 
@@ -4046,6 +4135,9 @@ _REGISTRY_ORDER = [
     # changed in the current round sits inside the driver's first-50
     # verification window, regardless of prior green rounds
     "pagerank", "wcc",
+    # NEW in round 5: the assortativity-family close-out (the last
+    # .gs_conf.yaml registry algo with no analog) and edge_boundary
+    "attr_assortativity", "numeric_assortativity", "edge_boundary",
     # new or operator-changed in round 4: full APSP (landmark
     # batches), property-graph projection, single-action-per-round
     # eigenvector/HITS, and the dedup family whose LSH banding gained
@@ -4273,6 +4365,11 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
               " / (SELECT sum(d*(d - 1)) FROM udeg), 6)"
               " AS transitivity",
         ),
+        "attr_assortativity": (q_attr_assortativity, _ATTR_ASSORT_SQL),
+        "numeric_assortativity": (
+            q_numeric_assortativity, _NUMERIC_ASSORT_SQL
+        ),
+        "edge_boundary": (q_edge_boundary, _EDGE_BOUNDARY_SQL),
         "assortativity": (
             q_assortativity,
             "WITH " + _G + ",\n"

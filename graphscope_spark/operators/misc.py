@@ -1,5 +1,6 @@
-"""Remaining second-tier apps: degree assortativity, average degree
-connectivity, node boundary, VoteRank.
+"""Remaining second-tier apps: the assortativity family (degree /
+attribute / numeric), average degree connectivity, node and edge
+boundary, VoteRank.
 
 Reference semantics:
 
@@ -610,6 +611,110 @@ def voterank(graph: Graph, num_seeds: int = 10) -> DataFrame:
     return spark.createDataFrame(
         elected_rows or [(None, None)], "id long, rank int"
     ).where(F.col("id").isNotNull())
+
+
+def attribute_assortativity(graph: Graph, prop: str) -> float:
+    """Newman attribute (categorical) assortativity coefficient over a
+    vertex property (reference
+    ``apps/assortativity/attribute_assortativity.h:34-224`` with
+    ``numeric=false``; nx wrapper
+    ``python/graphscope/nx/algorithms/builtin.py:773``).
+
+    Mixing matrix ``e[x][y]`` = fraction of edges whose source carries
+    attribute x and target y (directed edges as stored; both
+    orientations for undirected graphs), then
+    ``r = (Σᵢ e_ii − Σᵢ a_i b_i) / (1 − Σᵢ a_i b_i)`` with ``a``/``b``
+    the row/column marginals — the reference's ``computeAssortativity``.
+
+    Scale shape: one groupBy over the attribute-joined edge table (the
+    mixing map is |categories|² rows — tiny however large the graph),
+    marginals are two more aggs over THAT map, then the coefficient is
+    exact integer scalar math with ONE final double division
+    (``(tr·m − s)/(m² − s)``) so Spark and a SQL oracle agree
+    bit-for-bit.  Returns ``nan`` when the graph has a single
+    attribute value (0/0, as NetworkX raises for)."""
+    e = (graph.edges if graph.directed
+         else graph.symmetrized_edges()).select("src", "dst")
+    att = graph.vertices.select("id", F.col(prop).alias("att"))
+    mix = (
+        e.join(att.select(F.col("id").alias("src"),
+                          F.col("att").alias("xs")), "src")
+        .join(att.select(F.col("id").alias("dst"),
+                         F.col("att").alias("xd")), "dst")
+        .groupBy("xs", "xd")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    row = mix.agg(
+        F.sum("cnt").alias("m"),
+        F.sum(F.when(F.col("xs") == F.col("xd"), F.col("cnt"))
+              .otherwise(F.lit(0))).alias("tr"),
+    ).collect()[0]
+    m, tr = int(row["m"]), int(row["tr"] or 0)
+    a = mix.groupBy("xs").agg(F.sum("cnt").alias("a"))
+    b = mix.groupBy("xd").agg(F.sum("cnt").alias("b"))
+    s_row = (
+        a.join(b, a["xs"] == b["xd"])
+        .agg(F.sum(F.col("a") * F.col("b")))
+        .collect()[0][0]
+    )
+    s = int(s_row or 0)
+    mix.unpersist()
+    denom = m * m - s
+    if denom == 0:
+        return float("nan")
+    return (tr * m - s) / denom
+
+
+def numeric_assortativity(graph: Graph, prop: str) -> float:
+    """Numeric assortativity coefficient over a numeric vertex
+    property (reference ``attribute_assortativity.h`` with
+    ``numeric=true`` → ``utils.h`` ``ProcessMatrix``; nx wrapper
+    ``builtin.py:815``).
+
+    The reference's matrix form
+    ``Σᵢⱼ xᵢxⱼ(e_ij − a_i b_j) / (σ_a σ_b)`` over the value-mixing
+    matrix is algebraically the Pearson correlation of
+    ``(x_src, x_dst)`` over edges (covariance over marginal std-devs;
+    the n-denominators cancel), so it compiles to one attribute-joined
+    edge scan and a single ``corr`` aggregate — whole-stage codegen,
+    no driver-side matrix at any scale."""
+    e = (graph.edges if graph.directed
+         else graph.symmetrized_edges()).select("src", "dst")
+    att = graph.vertices.select(
+        "id", F.col(prop).cast("double").alias("att")
+    )
+    r = (
+        e.join(att.select(F.col("id").alias("src"),
+                          F.col("att").alias("xs")), "src")
+        .join(att.select(F.col("id").alias("dst"),
+                         F.col("att").alias("xd")), "dst")
+        .agg(F.corr("xs", "xd").alias("r"))
+        .collect()[0]["r"]
+    )
+    return float(r) if r is not None else float("nan")
+
+
+def edge_boundary(
+    graph: Graph, s: DataFrame, t: DataFrame | None = None
+) -> DataFrame:
+    """Edges from S to T (default: the complement of S):
+    ``(src, dst)`` — reference ``apps/boundary/edge_boundary.h``, nx
+    wrapper ``builtin.py:691``.  Directed graphs: out-edges of S
+    landing in T; undirected: each boundary edge once, oriented with
+    its S endpoint first (NetworkX ``edge_boundary``).  Two semi-joins
+    (one anti-join for the complement case) — no shuffle beyond the
+    broadcast-able S/T sides."""
+    sv = s.select(F.col(s.columns[0]).alias("id"))
+    e = (graph.edges if graph.directed
+         else graph.symmetrized_edges()).select("src", "dst")
+    r = e.join(sv.withColumnRenamed("id", "src"), "src", "left_semi")
+    if t is None:
+        r = r.join(sv.withColumnRenamed("id", "dst"), "dst", "left_anti")
+    else:
+        tv = t.select(F.col(t.columns[0]).alias("dst"))
+        r = r.join(tv, "dst", "left_semi")
+    return r.select("src", "dst").distinct()
 
 
 def min_edge_cover(graph: Graph, max_iter: int = 10_000) -> DataFrame:

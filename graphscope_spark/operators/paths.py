@@ -114,3 +114,28 @@ def all_simple_paths(
     return acc.select(
         "path", (F.size("path") - 1).cast("int").alias("hops")
     )
+
+
+def all_simple_edge_paths(
+    graph: Graph,
+    source: int,
+    target: int,
+    cutoff: int = 4,
+    symmetrize: bool = False,
+) -> DataFrame:
+    """All simple paths source→target rendered as EDGE lists, one row
+    per path: ``(epath array<struct<src,dst>>, hops int)`` — the nx
+    wrapper ``python/graphscope/nx/algorithms/builtin.py:933``
+    (``all_simple_edge_paths``).  A pure projection of
+    :func:`all_simple_paths`: each vertex path ``[v0 … vk]`` becomes
+    its consecutive-pair list ``[(v0,v1) … (v{k-1},vk)]`` via a
+    JVM-side array ``transform`` — no extra joins or shuffles beyond
+    the vertex-path expansion itself."""
+    p = all_simple_paths(graph, source, target, cutoff, symmetrize)
+    return p.select(
+        F.expr(
+            "transform(slice(path, 1, size(path) - 1),"
+            " (x, i) -> struct(x AS src, path[i + 1] AS dst))"
+        ).alias("epath"),
+        "hops",
+    )

@@ -1,0 +1,101 @@
+"""Round-5 operators: attribute/numeric assortativity, edge_boundary,
+all_simple_edge_paths — NetworkX parity on small graphs (the same
+test strategy the reference uses for its nx-wrapped builtins)."""
+import math
+
+import networkx as nx
+import pytest
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import Graph
+from graphscope_spark.operators.misc import (
+    attribute_assortativity,
+    edge_boundary,
+    numeric_assortativity,
+)
+from graphscope_spark.operators.paths import (
+    all_simple_edge_paths,
+    all_simple_paths,
+)
+
+# a small skewed graph with a categorical + numeric vertex property
+VERTS = [
+    (0, "a", 1), (1, "a", 2), (2, "b", 3), (3, "b", 4),
+    (4, "c", 5), (5, "a", 2), (6, "b", 3), (7, "c", 1),
+]
+EDGES = [
+    (0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 5),
+    (5, 0), (5, 6), (6, 7), (7, 0), (1, 3), (2, 6),
+]
+
+
+def _graph(spark, directed=True):
+    v = spark.createDataFrame(VERTS, "id long, cat string, num long")
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    return Graph.from_edges(e, directed=directed, vertices=v,
+                            num_partitions=4)
+
+
+def _nxg(directed=True):
+    g = nx.DiGraph() if directed else nx.Graph()
+    for i, c, x in VERTS:
+        g.add_node(i, cat=c, num=x)
+    g.add_edges_from(EDGES)
+    return g
+
+
+@pytest.mark.parametrize("directed", [True, False])
+def test_attribute_assortativity_nx_parity(spark, directed):
+    got = attribute_assortativity(_graph(spark, directed), "cat")
+    want = nx.attribute_assortativity_coefficient(_nxg(directed), "cat")
+    assert got == pytest.approx(want, abs=1e-12)
+
+
+@pytest.mark.parametrize("directed", [True, False])
+def test_numeric_assortativity_nx_parity(spark, directed):
+    got = numeric_assortativity(_graph(spark, directed), "num")
+    want = nx.numeric_assortativity_coefficient(_nxg(directed), "num")
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_attribute_assortativity_single_category_nan(spark):
+    v = spark.createDataFrame([(0, "x"), (1, "x")], "id long, cat string")
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    g = Graph.from_edges(e, directed=True, vertices=v, num_partitions=2)
+    assert math.isnan(attribute_assortativity(g, "cat"))
+
+
+@pytest.mark.parametrize("directed", [True, False])
+def test_edge_boundary_nx_parity(spark, directed):
+    g = _graph(spark, directed)
+    s_ids = [0, 1, 2]
+    s = spark.createDataFrame([(i,) for i in s_ids], "id long")
+    got = {(r["src"], r["dst"])
+           for r in edge_boundary(g, s).collect()}
+    want = set(nx.edge_boundary(_nxg(directed), s_ids))
+    if not directed:
+        # nx yields arbitrary orientation; ours anchors the S end first
+        want = {(a, b) if a in s_ids else (b, a) for a, b in want}
+    assert got == want
+
+
+def test_edge_boundary_explicit_target(spark):
+    g = _graph(spark, directed=True)
+    s = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    t = spark.createDataFrame([(3,), (6,)], "id long")
+    got = {(r["src"], r["dst"])
+           for r in edge_boundary(g, s, t).collect()}
+    want = set(nx.edge_boundary(_nxg(True), [0, 1, 2], [3, 6]))
+    assert got == want
+
+
+def test_all_simple_edge_paths_is_pair_projection(spark):
+    g = _graph(spark, directed=True)
+    vp = {tuple(r["path"])
+          for r in all_simple_paths(g, 0, 4, cutoff=4).collect()}
+    ep = {tuple((p["src"], p["dst"]) for p in r["epath"])
+          for r in all_simple_edge_paths(g, 0, 4, cutoff=4).collect()}
+    assert ep == {tuple(zip(p, p[1:])) for p in vp}
+    want = {tuple(pth) for pth in
+            nx.all_simple_edge_paths(_nxg(True), 0, 4, cutoff=4)}
+    assert ep == want
