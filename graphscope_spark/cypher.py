@@ -1,0 +1,397 @@
+"""Cypher string front-end (subset) — the reference compiles Cypher
+queries alongside Gremlin (grammar
+``interactive_engine/compiler/src/main/antlr4/CypherGS.g4``:
+``MATCH pattern (WHERE)? RETURN (DISTINCT)? items (ORDER BY)?
+(LIMIT)?``) down to the same GIE dataflow; here the same statement
+shape compiles onto the same lazy DataFrame plans the fluent
+:mod:`graphscope_spark.gie` chains build — Catalyst sees one
+declarative plan per statement (filter pushdown through the hops,
+join reordering), nothing is executed until the caller acts on the
+returned DataFrame.
+
+Same safety posture as :mod:`graphscope_spark.gremlin`: a regex
+tokenizer plus ``ast.literal_eval`` for literals — never ``eval``.
+
+Supported subset::
+
+    MATCH (a)-[r:label]->(b)-->(c) ...   linear path patterns; hop
+                                         directions ``->``, ``<-`` and
+                                         undirected ``-`` (both
+                                         orientations); ``-->``/``<--``/
+                                         ``--`` shorthand; repeated node
+                                         variables close cycles
+    WHERE a.prop > 5 AND (b <> c OR NOT a.prop = 'x')
+                                         comparisons over node vars
+                                         (= their ids), ``var.prop``
+                                         vertex properties, ``id(var)``;
+                                         AND / OR / NOT, parens
+    RETURN DISTINCT a, b.prop AS p, count(*) AS n
+                                         node vars (their ids),
+                                         properties, ``id(var)``,
+                                         ``count(*)`` / ``count(x)``;
+                                         a mix of aggregates and keys
+                                         does the implicit Cypher
+                                         grouping
+    ORDER BY n DESC, a ASC               over RETURN columns
+    LIMIT k
+
+Semantics notes: node variables bind vertex IDS (returning ``a``
+yields the id column, the engine's vertex handle); property access
+joins the vertex table on demand, per variable, pruned to the
+referenced columns.  Pattern matching is HOMOMORPHIC (the same edge
+may bind twice in a chain) — GIE's own default for its Gremlin
+surface; add explicit ``WHERE a <> c`` predicates for isomorphism, as
+the reference's test queries do.  The default column name for
+``a.prop`` is ``a_prop`` (dots in column names fight Spark's
+attribute resolution); use ``AS`` to pick exact names.
+"""
+from __future__ import annotations
+
+import ast
+import re
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .graph import Graph
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+      (?P<arrow><-\[|-\[|\]->|\]-|<--|-->|--)
+    | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+    | (?P<num>-?\d+(?:\.\d+)?)
+    | (?P<name>[A-Za-z_][A-Za-z_0-9]*)
+    | (?P<op><>|<=|>=|=|<|>|\(|\)|\[|\]|,|\.|\*|:)
+    )""",
+    re.X,
+)
+
+_KEYWORDS = {
+    "MATCH", "WHERE", "RETURN", "DISTINCT", "AS", "ORDER", "BY",
+    "ASC", "DESC", "LIMIT", "AND", "OR", "NOT", "COUNT", "ID",
+}
+
+
+def _tokenize(q: str) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    i = 0
+    while i < len(q):
+        m = _TOKEN.match(q, i)
+        if not m or m.end() == m.start():
+            if q[i:].strip() == "":
+                break
+            raise ValueError(f"cypher parse error at {q[i:i + 20]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        val = m.group(kind)
+        if kind == "name" and val.upper() in _KEYWORDS:
+            out.append(("kw", val.upper()))
+        else:
+            out.append((kind, val))
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self, k: int = 0):
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else ("eof", "")
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, val: str | None = None):
+        t = self.next()
+        if t[0] != kind or (val is not None and t[1] != val):
+            raise ValueError(f"expected {val or kind}, got {t[1]!r}")
+        return t
+
+    def accept(self, kind: str, val: str | None = None) -> bool:
+        t = self.peek()
+        if t[0] == kind and (val is None or t[1] == val):
+            self.i += 1
+            return True
+        return False
+
+
+class _Compiler:
+    """Compiles one parsed statement against a Graph."""
+
+    def __init__(self, graph: Graph):
+        self.g = graph
+        self.node_vars: list[str] = []
+        self.props: dict[str, set] = {}  # var -> referenced props
+        self._anon = 0
+
+    # ------------------------------------------------------ pattern
+    def _fresh(self) -> str:
+        self._anon += 1
+        return f"_anon{self._anon}"
+
+    def _node(self, p: _Parser) -> tuple[str, str | None]:
+        """``( var[:Label] )`` → (var, label)."""
+        p.expect("op", "(")
+        var = None
+        label = None
+        if p.peek()[0] == "name":
+            var = p.next()[1]
+        if p.accept("op", ":"):
+            label = p.expect("name")[1]
+        p.expect("op", ")")
+        return var or self._fresh(), label
+
+    def _edge(self, p: _Parser) -> tuple[str, str | None]:
+        """Arrow segment → (direction 'out'|'in'|'both', edge label)."""
+        t = p.next()
+        if t == ("arrow", "-->"):
+            return "out", None
+        if t == ("arrow", "<--"):
+            return "in", None
+        if t == ("arrow", "--"):
+            return "both", None
+        if t[0] == "arrow" and t[1] in ("-[", "<-["):
+            into = t[1] == "-["
+            if p.peek()[0] == "name":
+                p.next()  # edge variable (decorative in this subset)
+            elabel = None
+            if p.accept("op", ":"):
+                elabel = p.expect("name")[1]
+            closing = p.next()
+            if closing[0] != "arrow" or closing[1] not in ("]->", "]-"):
+                raise ValueError(f"bad relationship segment near {closing[1]!r}")
+            if into and closing[1] == "]->":
+                return "out", elabel
+            if into and closing[1] == "]-":
+                return "both", elabel
+            if not into and closing[1] == "]-":
+                return "in", elabel
+            raise ValueError("relationship cannot point both ways")
+        raise ValueError(f"expected a relationship, got {t[1]!r}")
+
+    def _both_edges(self) -> DataFrame:
+        if self.g.directed:
+            return self.g.symmetrized_edges(dedup=False)
+        return self.g.symmetrized_edges()
+
+    def _apply_vlabel(self, df: DataFrame, var: str, label: str) -> DataFrame:
+        if "label" not in self.g.vertices.columns:
+            raise ValueError(
+                f"pattern uses :{label} but the graph's vertex table "
+                "has no 'label' column"
+            )
+        lab = self.g.vertices.where(
+            F.col("label") == F.lit(label)
+        ).select(F.col("id").alias(var))
+        return df.join(lab, var, "left_semi")
+
+    def pattern(self, p: _Parser) -> DataFrame:
+        var, label = self._node(p)
+        self.node_vars.append(var)
+        df = self.g.vertices.select(F.col("id").alias(var))
+        if label:
+            df = self._apply_vlabel(df, var, label)
+        while p.peek()[0] == "arrow":
+            direction, elabel = self._edge(p)
+            nvar, nlabel = self._node(p)
+            if direction == "out":
+                e = self.g.edges
+                a, b = "src", "dst"
+            elif direction == "in":
+                e = self.g.edges
+                a, b = "dst", "src"
+            else:
+                e = self._both_edges()
+                a, b = "src", "dst"
+            if elabel is not None:
+                if "label" not in e.columns:
+                    raise ValueError(
+                        f"pattern uses [:{elabel}] but the edge table "
+                        "has no 'label' column"
+                    )
+                e = e.where(F.col("label") == F.lit(elabel))
+            closed = nvar in df.columns
+            land = nvar if not closed else f"__close_{nvar}"
+            hop = e.select(F.col(a).alias(var), F.col(b).alias(land))
+            df = df.join(hop, var)
+            if closed:
+                df = df.where(F.col(nvar) == F.col(land)).drop(land)
+            else:
+                self.node_vars.append(nvar)
+                if nlabel:
+                    df = self._apply_vlabel(df, nvar, nlabel)
+            var = nvar
+        return df
+
+    # ------------------------------------------------- expressions
+    def _operand(self, p: _Parser):
+        """Returns (Column-factory, default name).  The factory is
+        deferred so property columns can be joined in first."""
+        t = p.peek()
+        if t[0] in ("num", "str"):
+            p.next()
+            v = ast.literal_eval(t[1])
+            return (lambda: F.lit(v)), repr(v)
+        if t == ("kw", "ID"):
+            p.next()
+            p.expect("op", "(")
+            var = p.expect("name")[1]
+            p.expect("op", ")")
+            self._check_var(var)
+            return (lambda: F.col(var)), var
+        if t[0] == "name":
+            var = p.next()[1]
+            self._check_var(var)
+            if p.accept("op", "."):
+                prop = p.expect("name")[1]
+                self.props.setdefault(var, set()).add(prop)
+                col = f"{var}_{prop}"
+                return (lambda: F.col(col)), col
+            return (lambda: F.col(var)), var
+        raise ValueError(f"bad operand near {t[1]!r}")
+
+    def _check_var(self, var: str):
+        if var not in self.node_vars:
+            raise ValueError(f"unbound pattern variable {var!r}")
+
+    _CMP = {
+        "=": lambda a, b: a == b, "<>": lambda a, b: a != b,
+        "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+    }
+
+    def _comparison(self, p: _Parser):
+        lhs, _ = self._operand(p)
+        op = p.expect("op")[1]
+        if op not in self._CMP:
+            raise ValueError(f"unsupported comparison {op!r}")
+        rhs, _ = self._operand(p)
+        cmp = self._CMP[op]
+        return lambda: cmp(lhs(), rhs())
+
+    def _factor(self, p: _Parser):
+        if p.accept("kw", "NOT"):
+            inner = self._factor(p)
+            return lambda: ~inner()
+        if p.accept("op", "("):
+            inner = self._expr(p)
+            p.expect("op", ")")
+            return inner
+        return self._comparison(p)
+
+    def _term(self, p: _Parser):
+        parts = [self._factor(p)]
+        while p.accept("kw", "AND"):
+            parts.append(self._factor(p))
+        return lambda: _fold(parts, lambda a, b: a & b)
+
+    def _expr(self, p: _Parser):
+        parts = [self._term(p)]
+        while p.accept("kw", "OR"):
+            parts.append(self._term(p))
+        return lambda: _fold(parts, lambda a, b: a | b)
+
+    def where(self, p: _Parser):
+        return self._expr(p)
+
+    # ------------------------------------------------------ return
+    def return_items(self, p: _Parser):
+        """→ list of (kind 'key'|'count', factory, alias)."""
+        items = []
+        while True:
+            if p.accept("kw", "COUNT"):
+                p.expect("op", "(")
+                if p.accept("op", "*"):
+                    fac, name = (lambda: F.count(F.lit(1))), "count"
+                else:
+                    inner, iname = self._operand(p)
+                    fac = (lambda inner=inner: F.count(inner()))
+                    name = f"count_{iname}"
+                p.expect("op", ")")
+                kind = "count"
+            else:
+                fac, name = self._operand(p)
+                kind = "key"
+            if p.accept("kw", "AS"):
+                name = p.expect("name")[1]
+            items.append((kind, fac, name))
+            if not p.accept("op", ","):
+                break
+        return items
+
+
+def _fold(factories, op):
+    acc = factories[0]()
+    for f in factories[1:]:
+        acc = op(acc, f())
+    return acc
+
+
+def cypher(graph: Graph, query: str) -> DataFrame:
+    """Execute a Cypher statement STRING against a graph; returns the
+    lazy result DataFrame (columns named per RETURN)."""
+    p = _Parser(_tokenize(query))
+    c = _Compiler(graph)
+    p.expect("kw", "MATCH")
+    df = c.pattern(p)
+    pred = None
+    if p.accept("kw", "WHERE"):
+        pred = c.where(p)
+    p.expect("kw", "RETURN")
+    distinct = p.accept("kw", "DISTINCT")
+    items = c.return_items(p)
+    order = []
+    if p.accept("kw", "ORDER"):
+        p.expect("kw", "BY")
+        while True:
+            col = p.expect("name")[1]
+            desc = False
+            if p.accept("kw", "DESC"):
+                desc = True
+            else:
+                p.accept("kw", "ASC")
+            order.append((col, desc))
+            if not p.accept("op", ","):
+                break
+    limit = None
+    if p.accept("kw", "LIMIT"):
+        limit = int(ast.literal_eval(p.expect("num")[1]))
+    if p.peek()[0] != "eof":
+        raise ValueError(f"trailing input near {p.peek()[1]!r}")
+
+    # join referenced vertex properties, one pruned join per variable
+    for var, props in c.props.items():
+        sel = graph.vertices.select(
+            F.col("id").alias(var),
+            *[F.col(pr).alias(f"{var}_{pr}") for pr in sorted(props)],
+        )
+        df = df.join(sel, var, "left")
+    if pred is not None:
+        df = df.where(pred())
+    keys = [(fac, name) for kind, fac, name in items if kind == "key"]
+    aggs = [(fac, name) for kind, fac, name in items if kind == "count"]
+    if aggs:
+        agg_cols = [fac().alias(name) for fac, name in aggs]
+        if keys:
+            df = df.groupBy(
+                *[fac().alias(name) for fac, name in keys]
+            ).agg(*agg_cols)
+            df = df.select(*[name for _, name in keys]
+                           + [name for _, name in aggs])
+        else:
+            df = df.agg(*agg_cols)
+    else:
+        df = df.select(*[fac().alias(name) for fac, name in keys])
+        if distinct:
+            df = df.distinct()
+    if order:
+        df = df.orderBy(*[
+            F.col(cn).desc() if d else F.col(cn).asc()
+            for cn, d in order
+        ])
+    if limit is not None:
+        df = df.limit(limit)
+    return df

@@ -1672,6 +1672,96 @@ _EDGE_BOUNDARY_SQL = (
 )
 
 
+def q_gie_shortest_path(spark, sf_dir):
+    """``g.V(min_id).shortestPath()`` on the GIE traversal surface
+    (PathExpand ANY_SHORTEST, ``physical.proto:213-260``): one
+    deterministic (min-pred) shortest path per reached vertex on the
+    symmetrized co-order graph, path rendered as a '-'-joined id
+    string."""
+    from graphscope_spark.gie import traversal
+
+    g = part_graph(spark, sf_dir)
+    s = int(g.vertices.agg(F.min("id")).collect()[0][0])
+    df = traversal(g).V(s).shortestPath(symmetrize=True, max_hops=6)
+    return df.select(
+        "id", "hops",
+        F.concat_ws("-", F.col("path").cast("array<string>"))
+        .alias("path"),
+    )
+
+
+def _gie_shortest_path_sql(rounds: int = 6) -> str:
+    parts = [
+        _G,
+        "b0 AS (SELECT (SELECT min(id) FROM verts) AS id, 0 AS depth)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"b{k + 1} AS (SELECT id, min(depth) AS depth FROM (\n"
+            f"          SELECT id, depth FROM b{k}\n"
+            f"          UNION ALL\n"
+            f"          SELECT e.dst AS id, b.depth + 1 AS depth\n"
+            f"          FROM b{k} b JOIN sym e ON e.src = b.id) GROUP BY id)"
+        )
+    parts.append(
+        f"tree AS (SELECT b.id, min(e.src) AS pred\n"
+        f"         FROM b{rounds} b JOIN sym e ON e.dst = b.id\n"
+        f"         JOIN b{rounds} p ON p.id = e.src"
+        f" AND p.depth + 1 = b.depth\n"
+        f"         WHERE b.depth > 0 GROUP BY b.id)"
+    )
+    parts.append(
+        f"p0 AS (SELECT id, id::VARCHAR AS path, id AS head"
+        f" FROM b{rounds})"
+    )
+    for k in range(rounds):
+        parts.append(
+            f"p{k + 1} AS (SELECT p.id,\n"
+            f"          CASE WHEN t.pred IS NULL THEN p.path\n"
+            f"               ELSE t.pred::VARCHAR || '-' || p.path END"
+            f" AS path,\n"
+            f"          coalesce(t.pred, p.head) AS head\n"
+            f"          FROM p{k} p LEFT JOIN tree t ON t.id = p.head)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT b.id, b.depth::INT AS hops, p.path\n"
+        f"FROM b{rounds} b JOIN p{rounds} p ON p.id = b.id"
+    )
+
+
+def q_cypher_topdeg(spark, sf_dir):
+    """The Cypher STRING front-end through the driver protocol
+    (reference grammar ``CypherGS.g4``): top-20 parts by out-degree
+    restricted to co-order partners of size > 25 — pattern + property
+    WHERE + implicit-group aggregate + ORDER BY/LIMIT, all compiled to
+    one lazy DataFrame plan by :func:`graphscope_spark.cypher.cypher`."""
+    from graphscope_spark.cypher import cypher
+
+    verts, dedges = part_edges(spark, sf_dir)
+    attrs = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_size").alias("size")
+    )
+    g = Graph.from_edges(
+        dedges, directed=True, vertices=verts.join(attrs, "id")
+    )
+    return cypher(
+        g,
+        "MATCH (a)-[r]->(b) WHERE b.size > 25 "
+        "RETURN a, count(*) AS deg ORDER BY deg DESC, a ASC LIMIT 20",
+    )
+
+
+_CYPHER_TOPDEG_SQL = (
+    "WITH " + _G + """,
+att AS (SELECT p_partkey AS id, p_size FROM part)
+SELECT e.src AS a, count(*) AS deg
+FROM dedges e JOIN att b ON b.id = e.dst
+WHERE b.p_size > 25
+GROUP BY e.src ORDER BY deg DESC, a ASC LIMIT 20"""
+)
+
+
 def q_boundary(spark, sf_dir):
     from graphscope_spark.operators.misc import node_boundary
 
@@ -4138,6 +4228,7 @@ _REGISTRY_ORDER = [
     # NEW in round 5: the assortativity-family close-out (the last
     # .gs_conf.yaml registry algo with no analog) and edge_boundary
     "attr_assortativity", "numeric_assortativity", "edge_boundary",
+    "gie_shortest_path", "cypher_topdeg",
     # new or operator-changed in round 4: full APSP (landmark
     # batches), property-graph projection, single-action-per-round
     # eigenvector/HITS, and the dedup family whose LSH banding gained
@@ -4370,6 +4461,10 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
             q_numeric_assortativity, _NUMERIC_ASSORT_SQL
         ),
         "edge_boundary": (q_edge_boundary, _EDGE_BOUNDARY_SQL),
+        "gie_shortest_path": (
+            q_gie_shortest_path, _gie_shortest_path_sql(6)
+        ),
+        "cypher_topdeg": (q_cypher_topdeg, _CYPHER_TOPDEG_SQL),
         "assortativity": (
             q_assortativity,
             "WITH " + _G + ",\n"

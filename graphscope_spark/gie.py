@@ -15,7 +15,7 @@ pipeline (filter pushdown through the hops, join reordering).
 
 Supported steps: ``V, E, has, hasId, out, in_, both, outE, inE,
 bothE, otherV, bothV, limit, dedup, values, valueMap, select, count,
-where_, path, as_/select (tag steps), order_by, coin`` (enable path
+where_, path, as_/select (tag steps), order_by, coin, shortestPath`` (enable path
 tracking with ``V(..., track_path=True)`` — each hop then appends to
 an array column, Gremlin's ``path()`` history).  Hops accept an
 optional edge-label filter (``out("knows")``) when the edge table
@@ -314,6 +314,121 @@ class Traversal:
         for _ in range(times):
             t = getattr(t, step)()
         return t
+
+    def shortestPath(
+        self,
+        target: int | None = None,
+        max_hops: int = 15,
+        all_shortest: bool = False,
+        symmetrize: bool | None = None,
+    ) -> DataFrame:
+        """GIE PathExpand shortest-path variants
+        (``executor/ir/proto/physical.proto:213-260``:
+        ``ANY_SHORTEST`` / ``ALL_SHORTEST``) as a traversal step,
+        delegating to the BFS frontier machinery
+        (``operators/traversal.bfs``) plus deterministic path
+        reconstruction.
+
+        ``g.V(src).shortestPath()`` → one row per reached vertex
+        ``(id, hops, path array<long>)`` carrying THE shortest path
+        chosen by the min-id predecessor convention (the same
+        determinism device as ``sssp_path`` / ``bfs_tree``);
+        ``shortestPath(target=t)`` filters to one endpoint;
+        ``all_shortest=True`` (requires ``target``) enumerates EVERY
+        shortest path source→target: ``(path, hops)`` rows, unfolded
+        backwards from the target over the full predecessor multiset
+        so the work is bounded by the actual path count, never an
+        exponential expansion of non-shortest walks.
+
+        Edge direction follows the graph: out-edges for directed
+        graphs (GIE's default expand direction), the symmetrized set
+        for undirected — override with ``symmetrize``."""
+        from .operators.traversal import bfs
+        from .plans.checkpoint import maybe_truncate_lineage
+
+        assert self._kind == "v", "shortestPath starts from vertices"
+        rows = self._df.select("id").distinct().limit(2).collect()
+        if len(rows) != 1:
+            raise ValueError(
+                "shortestPath() needs exactly one source vertex — "
+                "start the traversal g.V(<id>).shortestPath(...)"
+            )
+        src = int(rows[0]["id"])
+        g = self._g
+        if symmetrize is None:
+            symmetrize = not g.directed
+        spark = self._df.sparkSession
+        # localCheckpoint, not persist: the reconstruction loop below
+        # re-embeds this plan every round — persist() keeps the blocks
+        # but NOT the truncated plan, and the D-fold re-embedded BFS
+        # lineage OOMs the driver inside explainString (the repo's
+        # known lineage cliff)
+        depth = bfs(g, src, depth_limit=max_hops,
+                    symmetrize=symmetrize).localCheckpoint(eager=True)
+        dmax = depth.agg(F.max("depth")).collect()[0][0]
+        dmax = int(dmax or 0)
+        edges = (g.symmetrized_edges() if symmetrize
+                 else g.edges).select("src", "dst")
+        du = depth.select(F.col("id").alias("src"),
+                          F.col("depth").alias("du"))
+        # predecessor multiset: u→v on a shortest path iff
+        # depth(u) + 1 == depth(v)
+        preds_all = (
+            edges.join(du, "src")
+            .join(depth.withColumnRenamed("id", "dst"), "dst")
+            .where(F.col("du") + 1 == F.col("depth"))
+            .select(F.col("dst").alias("id"), F.col("src").alias("pred"))
+            .localCheckpoint(eager=True)
+        )
+        if all_shortest:
+            if target is None:
+                raise ValueError("all_shortest=True requires a target")
+            state = spark.createDataFrame(
+                [([int(target)], int(target))], "path array<long>, head long"
+            )
+            done = state.where(F.col("head") == src).select("path")
+            for i in range(dmax):
+                state = (
+                    state.where(F.col("head") != src)
+                    .join(preds_all.withColumnRenamed("id", "head"), "head")
+                    .select(
+                        F.concat(F.array(F.col("pred")), F.col("path"))
+                        .alias("path"),
+                        F.col("pred").alias("head"),
+                    )
+                )
+                state = maybe_truncate_lineage(state, i, 3)
+                done = done.unionByName(
+                    state.where(F.col("head") == src).select("path")
+                )
+            return done.select(
+                "path", (F.size("path") - 1).cast("int").alias("hops")
+            )
+        tree = (
+            preds_all.groupBy("id").agg(F.min("pred").alias("pred"))
+            .localCheckpoint(eager=True)
+        )
+        state = depth.select(
+            "id", F.array(F.col("id")).alias("path"),
+            F.col("id").alias("head"),
+        )
+        for i in range(dmax):
+            state = (
+                state.join(tree.withColumnRenamed("id", "head"),
+                           "head", "left")
+                .select(
+                    "id",
+                    F.when(F.col("pred").isNotNull(),
+                           F.concat(F.array(F.col("pred")), F.col("path")))
+                    .otherwise(F.col("path")).alias("path"),
+                    F.coalesce("pred", "head").alias("head"),
+                )
+            )
+            state = maybe_truncate_lineage(state, i, 3)
+        out = state.join(depth.withColumnRenamed("depth", "hops"), "id")
+        if target is not None:
+            out = out.where(F.col("id") == int(target))
+        return out.select("id", F.col("hops").cast("int"), "path")
 
     # -------------------------------------------------------- terminals
     def groupCount(self) -> DataFrame:

@@ -34,6 +34,7 @@ _PLAIN = {
     "has", "hasId", "out", "in_", "both", "outE", "inE", "bothE",
     "otherV", "bothV", "dedup", "limit", "groupCount", "values",
     "valueMap", "count", "path", "toList", "as_", "select_", "coin",
+    "shortestPath",
 }
 
 

@@ -1,0 +1,139 @@
+"""Cypher string front-end: each statement is checked against an
+equivalent hand-built DataFrame/fluent-GIE twin on the same graph
+(the reference compiles Cypher and Gremlin onto the same dataflow —
+``CypherGS.g4`` — so equivalence with the fluent surface is exactly
+the parity that matters)."""
+import pytest
+from pyspark.sql import functions as F
+
+from graphscope_spark.cypher import cypher
+from graphscope_spark.graph import Graph
+
+VERTS = [
+    (0, "a", 1), (1, "a", 2), (2, "b", 3), (3, "b", 4),
+    (4, "c", 5), (5, "a", 2), (6, "b", 3), (7, "c", 1),
+]
+EDGES = [
+    (0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 5),
+    (5, 0), (5, 6), (6, 7), (7, 0), (1, 3), (2, 6),
+]
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    v = spark.createDataFrame(VERTS, "id long, cat string, num long")
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    return Graph.from_edges(e, directed=True, vertices=v,
+                            num_partitions=4)
+
+
+def rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_match_out(spark, g):
+    got = rows(cypher(g, "MATCH (a)-->(b) RETURN a, b"), "a", "b")
+    assert got == sorted(EDGES)
+
+
+def test_match_in(spark, g):
+    got = rows(cypher(g, "MATCH (a)<--(b) RETURN a, b"), "a", "b")
+    assert got == sorted((b, a) for a, b in EDGES)
+
+
+def test_match_undirected_bag(spark, g):
+    got = rows(cypher(g, "MATCH (a)--(b) RETURN a, b"), "a", "b")
+    want = sorted(EDGES + [(b, a) for a, b in EDGES])
+    assert got == want
+
+
+def test_where_property(spark, g):
+    q = "MATCH (a)-[r]->(b) WHERE a.num > 2 RETURN a, b"
+    got = rows(cypher(g, q), "a", "b")
+    big = {i for i, _, n in VERTS if n > 2}
+    assert got == sorted((a, b) for a, b in EDGES if a in big)
+
+
+def test_aggregate_order_limit(spark, g):
+    q = ("MATCH (a)-->(b) RETURN a, count(*) AS deg "
+         "ORDER BY deg DESC, a ASC LIMIT 3")
+    got = [(r["a"], r["deg"]) for r in cypher(g, q).collect()]
+    from collections import Counter
+
+    deg = Counter(a for a, _ in EDGES)
+    want = sorted(deg.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert got == want
+
+
+def test_two_hop_distinct(spark, g):
+    q = "MATCH (a)-->(b)-->(c) WHERE a <> c RETURN DISTINCT a, c"
+    got = rows(cypher(g, q), "a", "c")
+    want = sorted({(a, c) for a, b in EDGES for b2, c in EDGES
+                   if b == b2 and a != c})
+    assert got == want
+
+
+def test_property_projection_aliases(spark, g):
+    q = "MATCH (a)-->(b) RETURN DISTINCT a.cat AS ca, b.cat AS cb"
+    got = rows(cypher(g, q), "ca", "cb")
+    cat = {i: c for i, c, _ in VERTS}
+    assert got == sorted({(cat[a], cat[b]) for a, b in EDGES})
+
+
+def test_vertex_only_match(spark, g):
+    q = "MATCH (a) WHERE a.num >= 3 RETURN a ORDER BY a"
+    got = [r["a"] for r in cypher(g, q).collect()]
+    assert got == sorted(i for i, _, n in VERTS if n >= 3)
+
+
+def test_boolean_operators(spark, g):
+    q = "MATCH (a) WHERE NOT (a.cat = 'a' OR a.num > 3) RETURN a"
+    got = rows(cypher(g, q), "a")
+    want = sorted((i,) for i, c, n in VERTS
+                  if not (c == "a" or n > 3))
+    assert got == want
+
+
+def test_id_function_and_anon_node(spark, g):
+    q = "MATCH (a)-->() WHERE id(a) = 5 RETURN a"
+    # bag semantics: one row per out-edge of 5
+    assert rows(cypher(g, q), "a") == [(5,), (5,)]
+
+
+def test_count_without_keys(spark, g):
+    q = "MATCH (a)-->(b)-->(c) RETURN count(*) AS n"
+    n2 = sum(1 for a, b in EDGES for b2, c in EDGES if b == b2)
+    assert cypher(g, q).collect()[0]["n"] == n2
+
+
+def test_cycle_closure(spark, g):
+    # close the pattern back on a: directed 3-cycles through vertex ids
+    q = "MATCH (a)-->(b)-->(c)-->(a) RETURN DISTINCT a, b, c"
+    got = rows(cypher(g, q), "a", "b", "c")
+    es = set(EDGES)
+    want = sorted({(a, b, c) for a, b in EDGES for b2, c in EDGES
+                   if b == b2 and (c, a) in es})
+    assert got == want
+
+
+def test_equivalence_with_fluent_gie(spark, g):
+    """The statement compiles to the same result the fluent chain
+    produces (same multiset)."""
+    from graphscope_spark.gie import traversal
+
+    got = rows(cypher(g, "MATCH (a)-->(b)-->(c) RETURN c"), "c")
+    fluent = sorted(
+        (r["id"],)
+        for r in traversal(g).V().out().out().toDF().collect()
+    )
+    assert got == fluent
+
+
+def test_unbound_variable_raises(spark, g):
+    with pytest.raises(ValueError, match="unbound"):
+        cypher(g, "MATCH (a)-->(b) RETURN z")
+
+
+def test_trailing_garbage_raises(spark, g):
+    with pytest.raises(ValueError):
+        cypher(g, "MATCH (a) RETURN a LIMIT 3 banana")

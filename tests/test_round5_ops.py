@@ -89,6 +89,47 @@ def test_edge_boundary_explicit_target(spark):
     assert got == want
 
 
+def test_shortest_path_any_nx_parity(spark):
+    """ANY_SHORTEST: every returned path is a valid shortest path
+    (hop count == nx distance, consecutive pairs are edges), one row
+    per reached vertex."""
+    from graphscope_spark.gie import traversal
+
+    g = _graph(spark, directed=True)
+    rows = traversal(g).V(0).shortestPath().collect()
+    nxd = nx.single_source_shortest_path_length(_nxg(True), 0)
+    assert {r["id"] for r in rows} == set(nxd)
+    eset = set(EDGES)
+    for r in rows:
+        p = list(r["path"])
+        assert r["hops"] == nxd[r["id"]] == len(p) - 1
+        assert p[0] == 0 and p[-1] == r["id"]
+        assert all(pair in eset for pair in zip(p, p[1:]))
+
+
+def test_shortest_path_target_and_all_shortest(spark):
+    from graphscope_spark.gie import traversal
+
+    g = _graph(spark, directed=True)
+    one = traversal(g).V(0).shortestPath(target=3).collect()
+    assert len(one) == 1 and one[0]["id"] == 3
+    allp = {tuple(r["path"]) for r in
+            traversal(g).V(0)
+            .shortestPath(target=3, all_shortest=True).collect()}
+    want = {tuple(p) for p in nx.all_shortest_paths(_nxg(True), 0, 3)}
+    assert allp == want
+
+
+def test_shortest_path_undirected_and_gremlin_string(spark):
+    from graphscope_spark.gremlin import gremlin
+
+    g = _graph(spark, directed=False)
+    df = gremlin(g, "g.V(6).shortestPath()")
+    nxd = nx.single_source_shortest_path_length(_nxg(False), 6)
+    got = {r["id"]: r["hops"] for r in df.collect()}
+    assert got == nxd
+
+
 def test_all_simple_edge_paths_is_pair_projection(spark):
     g = _graph(spark, directed=True)
     vp = {tuple(r["path"])
