@@ -4258,9 +4258,12 @@ _REGISTRY_ORDER = [
     "tri_variants",
     "ann_ivf", "louvain", "modularity",
     "node2vec_walks", "skipgram_pairs",
-    # triangles/tri_count pulled back in late r4: triangle_list's
-    # close-join plan changed (wedge join → adjacency intersection)
-    "triangles", "tri_count",
+    # triangles stays in-window (r4 plan change, second green round);
+    # gremlin_2hop_bag re-enters because gie.py/gremlin.py gained the
+    # shortestPath step this round (additive, but the window rule is
+    # module-level); tri_count rotates to the tail to make room —
+    # r4-green and its operator (triangles.py) is untouched in r5
+    "triangles",
     "gremlin_2hop_bag",
     "pack_sequences", "random_walks",
     # cdlp pulled back in late r4 (operator gained init_labels warm
@@ -4268,6 +4271,9 @@ _REGISTRY_ORDER = [
     # column exprs, text.py untouched — rotated to the tail for it
     "cdlp",
     "sample_neighbors",
+    # rotated out r5 (see window note above): r4-green, operator
+    # modules untouched this round
+    "tri_count",
     # ---- position 51+: stable driver-green entries, untouched this
     # round.  The late-r4 window additions (dfs, node2vec_walks,
     # skipgram_pairs, triangles, tri_count, cdlp, gremlin_2hop_bag)
