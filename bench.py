@@ -38,7 +38,17 @@ PR_ROUNDS = 10
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("graphscope-spark-bench")
+    # the interleaved big leg keeps 12 iterative-app runs' localCheckpoint
+    # blocks in flight until the ContextCleaner catches up; 8g (the
+    # library default, sized for one app at a time) OOMs mid-rotation —
+    # size the bench JVM for the whole rotation instead.  Passed as an
+    # explicit conf: session.DEFAULT_CONFS reads the env var at module
+    # IMPORT time, so setting it here would be too late.
+    spark = get_spark(
+        "graphscope-spark-bench",
+        extra_confs={"spark.driver.memory": os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "24g")},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     # absorb one-time JVM/codegen warmup so the first timed query is
     # not charged ~30s of session startup
@@ -103,12 +113,18 @@ def main() -> None:
     medians: dict[str, float] = {}
 
     def interleaved(queries, runs=3):
+        import gc
+
         samples = {name: [] for name, _ in queries}
         for _ in range(runs):
             for name, fn in queries:
                 t0 = time.time()
                 fn()
                 samples[name].append(time.time() - t0)
+                # drop the run's DataFrame refs NOW so the
+                # ContextCleaner can release its localCheckpoint
+                # blocks before the next run piles on more
+                gc.collect()
         for name, xs in samples.items():
             timings[name] = min(xs)
             spreads[name] = [round(x, 3) for x in xs]

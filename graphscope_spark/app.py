@@ -36,6 +36,10 @@ _APPS: dict[str, str] = {
     "apsp_lengths": "traversal:apsp_lengths",
     "apsp_full": "traversal:apsp_full_lengths",
     "dfs": "dfs:dfs",
+    "is_simple_path": "paths:is_simple_path",
+    "all_simple_paths": "paths:all_simple_paths",
+    "all_simple_edge_paths": "paths:all_simple_edge_paths",
+    "sample_paths": "paths:sample_paths",
     # connectivity / structure
     "wcc": "wcc:wcc",
     "scc": "connectivity:scc",
@@ -84,8 +88,11 @@ _APPS: dict[str, str] = {
     # measurement / misc
     "diameter_approx": "misc:diameter_approx",
     "assortativity": "misc:degree_assortativity",
+    "attribute_assortativity": "misc:attribute_assortativity",
+    "numeric_assortativity": "misc:numeric_assortativity",
     "avg_degree_connectivity": "misc:average_degree_connectivity",
     "boundary": "misc:node_boundary",
+    "edge_boundary": "misc:edge_boundary",
     # sampling / link prediction
     "random_walks": "walks:random_walks",
     "sample_neighbors": "walks:sample_neighbors",

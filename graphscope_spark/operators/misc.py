@@ -650,7 +650,10 @@ def attribute_assortativity(graph: Graph, prop: str) -> float:
         F.sum(F.when(F.col("xs") == F.col("xd"), F.col("cnt"))
               .otherwise(F.lit(0))).alias("tr"),
     ).collect()[0]
-    m, tr = int(row["m"]), int(row["tr"] or 0)
+    m, tr = int(row["m"] or 0), int(row["tr"] or 0)
+    if m == 0:
+        mix.unpersist()
+        return float("nan")
     a = mix.groupBy("xs").agg(F.sum("cnt").alias("a"))
     b = mix.groupBy("xd").agg(F.sum("cnt").alias("b"))
     s_row = (
