@@ -1111,6 +1111,52 @@ JOIN en b ON b.vec_id = c.id_b
 WHERE list_dot_product(a.v, b.v) / (a.n * b.n) >= {threshold!r}"""
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540) over the embeddings table: IVF coarse-quantizer
+    clusters (same deterministic h60 seeding as ``ann_ivf``), then
+    within each cluster a vector is dropped (``keep = false``) when a
+    lower-id cluster-mate has cosine ≥ 0.4.  The per-cluster pair
+    compare is the method's scale contract — n_centroids grows with
+    the corpus so the quadratic stays bounded."""
+    from graphscope_spark.functions.similarity import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.4, n_centroids=8).select(
+        "vec_id", F.col("cid").cast("long").alias("cid"), "keep"
+    )
+
+
+def _semantic_dedup_sql(threshold: float = 0.4,
+                        n_centroids: int = 8) -> str:
+    """Mirrors ``similarity.semantic_dedup`` cluster-for-cluster: the
+    ``cent``/``assign`` CTEs are the exact ``_ann_ivf_sql`` quantizer
+    (same h60 seed pick, same 6-dp rounded assignment cosines, same
+    ties-to-smallest-cid), and the drop rule is the same 6-dp rounded
+    intra-cluster compare, so the decision table is bit-identical."""
+    hp = _H60.format("'c:' || vec_id::VARCHAR")
+    return f"""\
+WITH {_EMB},
+hp AS (SELECT vec_id, v, n, {hp} AS hp FROM en),
+cent AS (SELECT row_number() OVER (ORDER BY hp, vec_id) - 1 AS cid,
+                v AS cv, n AS cn
+         FROM hp ORDER BY hp, vec_id LIMIT {n_centroids}),
+assign AS (SELECT vec_id, cid, v, n FROM (
+           SELECT en.vec_id, c.cid, en.v, en.n,
+                  row_number() OVER (PARTITION BY en.vec_id
+                      ORDER BY round(list_dot_product(en.v, c.cv)
+                                     / (en.n * c.cn), 6) DESC,
+                               c.cid ASC) AS rn
+           FROM en CROSS JOIN cent c) WHERE rn = 1),
+dropped AS (SELECT DISTINCT b.vec_id
+            FROM assign a JOIN assign b
+              ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                        / (a.n * b.n), 6) >= {threshold!r})
+SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS keep
+FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id"""
+
+
 def q_sssp(spark, sf_dir):
     """Weighted SSSP from the min part key over the symmetrized
     co-order graph; deterministic weight w(u,v) = (u+v) % 7 + 1."""
@@ -4237,6 +4283,9 @@ _REGISTRY_ORDER = [
     "apsp_full", "prop_project", "negative_sampling", "dfs",
     "eigenvector10", "hits",
     "minhash_groups", "minhash_lsh", "embedding_near_dup",
+    # NEW in round 5 (late): SemDeDup-style semantic dedup — IVF
+    # clusters + intra-cluster cosine drop decisions
+    "semantic_dedup",
     "ngram_jaccard", "dedup_exact",
     "embedding_topk", "rel_semijoin",
     "bfs_pred", "bfs_succ",
@@ -4258,12 +4307,11 @@ _REGISTRY_ORDER = [
     "tri_variants",
     "ann_ivf", "louvain", "modularity",
     "node2vec_walks", "skipgram_pairs",
-    # triangles stays in-window (r4 plan change, second green round);
     # gremlin_2hop_bag re-enters because gie.py/gremlin.py gained the
     # shortestPath step this round (additive, but the window rule is
-    # module-level); tri_count rotates to the tail to make room —
-    # r4-green and its operator (triangles.py) is untouched in r5
-    "triangles",
+    # module-level); tri_count AND triangles rotate to the tail to
+    # make room for it and the late-r5 semantic_dedup — both r4-green
+    # with their operator (triangles.py) untouched in r5
     "gremlin_2hop_bag",
     "pack_sequences", "random_walks",
     # cdlp pulled back in late r4 (operator gained init_labels warm
@@ -4273,7 +4321,7 @@ _REGISTRY_ORDER = [
     "sample_neighbors",
     # rotated out r5 (see window note above): r4-green, operator
     # modules untouched this round
-    "tri_count",
+    "tri_count", "triangles",
     # ---- position 51+: stable driver-green entries, untouched this
     # round.  The late-r4 window additions (dfs, node2vec_walks,
     # skipgram_pairs, triangles, tri_count, cdlp, gremlin_2hop_bag)
@@ -4543,6 +4591,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "embedding_near_dup": (
             q_embedding_near_dup, _embedding_near_dup_sql()
         ),
+        "semantic_dedup": (q_semantic_dedup, _semantic_dedup_sql()),
         "rel_semijoin": (
             q_rel_semijoin,
             """SELECT p_partkey, p_name FROM part

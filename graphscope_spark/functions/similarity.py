@@ -275,6 +275,87 @@ def ivf_assign(
     return cent, assign
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_centroids: int = 8,
+    max_cluster_size: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding corpus with the IVF
+    coarse quantizer, then WITHIN each cluster mark a vector as a
+    duplicate when some lower-id cluster-mate has cosine ≥ threshold.
+    Returns ``(vec_id, cid, keep)`` — ``keep = false`` rows are the
+    semantic duplicates to drop.
+
+    Scale shape (the whole point of the method): the quadratic
+    pair-compare runs per-cluster, never corpus-wide — at 100 TB,
+    ``n_centroids`` grows with the corpus (SemDeDup uses ~50k k-means
+    clusters for LAION) so cluster sizes stay bounded; this
+    implementation reuses :func:`ivf_assign`'s deterministic
+    h60-seeded quantizer so a SQL oracle reproduces the exact same
+    clusters and decisions.  ``max_cluster_size`` is the explicit
+    skew guard: a cluster larger than it fails loudly instead of
+    silently going quadratic (raise ``n_centroids`` or pre-shard).
+
+    Determinism contract matches the rest of this module: 6-dp
+    rounded cosines, keeper = smallest id (transitive chains keep
+    exactly the per-cluster minima of each ≥-threshold pair graph's
+    "dominated" relation — a vector is dropped iff ANY smaller-id
+    mate clears the threshold, not only the group representative).
+    """
+    cent, assign = ivf_assign(corpus, n_centroids, id_col, vec_col)
+    assign = assign.persist()
+    try:
+        too_big = (
+            assign.groupBy("cid").count()
+            .where(F.col("count") > max_cluster_size)
+            .limit(1).collect()
+        )
+        if too_big:
+            raise ValueError(
+                f"semantic_dedup: cluster {too_big[0]['cid']} has "
+                f"{too_big[0]['count']} > max_cluster_size="
+                f"{max_cluster_size} vectors; raise n_centroids so the "
+                f"per-cluster pair-compare stays bounded"
+            )
+        a = assign.select(
+            F.col("cid"), F.col(id_col).alias("id_a"),
+            F.col("v").alias("va"), F.col("n").alias("na"),
+        )
+        b = assign.select(
+            F.col("cid"), F.col(id_col).alias("id_b"),
+            F.col("v").alias("vb"), F.col("n").alias("nb"),
+        )
+        dropped = (
+            a.join(b, "cid")
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "cos",
+                F.round(
+                    _dot(F.col("va"), F.col("vb"))
+                    / (F.col("na") * F.col("nb")), 6,
+                ),
+            )
+            .where(F.col("cos") >= threshold)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+            .withColumn("dup", F.lit(True))
+        )
+        return (
+            assign.select(id_col, "cid")
+            .join(dropped, id_col, "left")
+            .select(
+                id_col, "cid",
+                F.coalesce(~F.col("dup"), F.lit(True)).alias("keep"),
+            )
+        ).localCheckpoint()
+    finally:
+        assign.unpersist()
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

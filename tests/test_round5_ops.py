@@ -140,3 +140,71 @@ def test_all_simple_edge_paths_is_pair_projection(spark):
     want = {tuple(pth) for pth in
             nx.all_simple_edge_paths(_nxg(True), 0, 4, cutoff=4)}
     assert ep == want
+
+
+def _semdedup_reference(vecs, n_centroids, threshold):
+    """Pure-python replica of similarity.semantic_dedup's decision
+    rule: h60-seeded centroids, argmax 6-dp cosine assignment (ties
+    to smallest cid), drop when any smaller-id cluster-mate clears
+    the threshold."""
+    import numpy as np
+
+    from graphscope_spark.functions.text import h60_py
+
+    ids = sorted(vecs)
+    seeds = sorted(ids, key=lambda i: (h60_py(f"c:{i}"), i))[:n_centroids]
+    cm = np.array([vecs[i] for i in seeds], dtype="float64")
+    cn = np.linalg.norm(cm, axis=1)
+    cid, norm = {}, {}
+    for i in ids:
+        v = np.array(vecs[i], dtype="float64")
+        norm[i] = np.linalg.norm(v)
+        cos = np.round((cm @ v) / (cn * norm[i]), 6)
+        cid[i] = int(np.argmax(cos))  # argmax takes the first (smallest cid) tie
+    keep = {}
+    for i in ids:
+        vi = np.array(vecs[i], dtype="float64")
+        keep[i] = not any(
+            cid[j] == cid[i]
+            and round(float(np.dot(vi, vecs[j])) / (norm[i] * norm[j]), 6)
+            >= threshold
+            for j in ids if j < i
+        )
+    return cid, keep
+
+
+def test_semantic_dedup_matches_reference_rule(spark):
+    from graphscope_spark.functions.similarity import semantic_dedup
+
+    # 3 tight groups of near-duplicates + isolated vectors, 8-dim
+    base = {
+        0: [1, 0, 0, 0, 0, 0, 0, 0],
+        1: [0, 1, 0, 0, 0, 0, 0, 0],
+        2: [0, 0, 1, 0, 0, 0, 1, 0],
+    }
+    vecs = {}
+    for gid, v in base.items():
+        for k in range(4):
+            w = [x + 0.01 * k * (j % 3) for j, x in enumerate(v)]
+            vecs[gid * 10 + k] = w
+    vecs[99] = [1.0] * 8  # equidistant-ish singleton
+    rows = [(i, [float(x) for x in v]) for i, v in sorted(vecs.items())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["cid"], r["keep"])
+        for r in semantic_dedup(df, threshold=0.95, n_centroids=3).collect()
+    }
+    cid, keep = _semdedup_reference(vecs, 3, 0.95)
+    assert got == {i: (cid[i], keep[i]) for i in vecs}
+    # the tight groups must actually deduplicate: ≥1 drop per group
+    dropped = {i for i, (_, k) in got.items() if not k}
+    assert dropped, "no duplicates dropped in a corpus full of near-dups"
+
+
+def test_semantic_dedup_cluster_size_guard(spark):
+    from graphscope_spark.functions.similarity import semantic_dedup
+
+    rows = [(i, [1.0, float(i % 2)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="max_cluster_size"):
+        semantic_dedup(df, n_centroids=1, max_cluster_size=10)
