@@ -20,6 +20,18 @@ Supported subset::
                                          orientations); ``-->``/``<--``/
                                          ``--`` shorthand; repeated node
                                          variables close cycles
+    MATCH (a)-->(b), (b)-->(c)           comma-separated conjunctive
+                                         patterns joined on shared
+                                         variables
+    MATCH (a)-[*1..3]->(b)               variable-length hops (GIE
+                                         PathExpand): ``*n`` exactly n,
+                                         ``*lo..hi`` / ``*..hi`` ranges
+                                         (a finite upper bound is
+                                         required — the unbounded ``*``
+                                         is rejected, the scale-honest
+                                         choice); works with ``<-`` /
+                                         ``-`` and edge labels
+    MATCH (a:L {prop: 3})                inline property-map filters
     WHERE a.prop > 5 AND (b <> c OR NOT a.prop = 'x')
                                          comparisons over node vars
                                          (= their ids), ``var.prop``
@@ -28,12 +40,16 @@ Supported subset::
     RETURN DISTINCT a, b.prop AS p, count(*) AS n
                                          node vars (their ids),
                                          properties, ``id(var)``,
-                                         ``count(*)`` / ``count(x)``;
-                                         a mix of aggregates and keys
-                                         does the implicit Cypher
-                                         grouping
+                                         aggregates ``count(*)`` /
+                                         ``count(x)`` / ``sum`` /
+                                         ``min`` / ``max`` / ``avg`` /
+                                         ``collect`` (returned sorted
+                                         for engine-portable
+                                         determinism); a mix of
+                                         aggregates and keys does the
+                                         implicit Cypher grouping
     ORDER BY n DESC, a ASC               over RETURN columns
-    LIMIT k
+    SKIP s LIMIT k
 
 Semantics notes: node variables bind vertex IDS (returning ``a``
 yields the id column, the engine's vertex handle); property access
@@ -60,14 +76,15 @@ _TOKEN = re.compile(
     | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
     | (?P<num>-?\d+(?:\.\d+)?)
     | (?P<name>[A-Za-z_][A-Za-z_0-9]*)
-    | (?P<op><>|<=|>=|=|<|>|\(|\)|\[|\]|,|\.|\*|:)
+    | (?P<op><>|<=|>=|=|<|>|\(|\)|\[|\]|\{|\}|,|\.\.|\.|\*|:)
     )""",
     re.X,
 )
 
 _KEYWORDS = {
     "MATCH", "WHERE", "RETURN", "DISTINCT", "AS", "ORDER", "BY",
-    "ASC", "DESC", "LIMIT", "AND", "OR", "NOT", "COUNT", "ID",
+    "ASC", "DESC", "LIMIT", "SKIP", "AND", "OR", "NOT", "COUNT", "ID",
+    "SUM", "MIN", "MAX", "AVG", "COLLECT",
 }
 
 
@@ -132,27 +149,73 @@ class _Compiler:
         self._anon += 1
         return f"_anon{self._anon}"
 
-    def _node(self, p: _Parser) -> tuple[str, str | None]:
-        """``( var[:Label] )`` → (var, label)."""
+    def _node(self, p: _Parser) -> tuple[str, str | None, list]:
+        """``( var[:Label] [{prop: lit, ...}] )`` → (var, label,
+        property filters)."""
         p.expect("op", "(")
         var = None
         label = None
+        filters: list[tuple[str, object]] = []
         if p.peek()[0] == "name":
             var = p.next()[1]
         if p.accept("op", ":"):
             label = p.expect("name")[1]
+        if p.accept("op", "{"):
+            while True:
+                prop = p.expect("name")[1]
+                p.expect("op", ":")
+                t = p.next()
+                if t[0] not in ("num", "str"):
+                    raise ValueError(
+                        f"property map values must be literals, got {t[1]!r}"
+                    )
+                filters.append((prop, ast.literal_eval(t[1])))
+                if not p.accept("op", ","):
+                    break
+            p.expect("op", "}")
         p.expect("op", ")")
-        return var or self._fresh(), label
+        return var or self._fresh(), label, filters
 
-    def _edge(self, p: _Parser) -> tuple[str, str | None]:
-        """Arrow segment → (direction 'out'|'in'|'both', edge label)."""
+    def _varlen(self, p: _Parser) -> tuple[int, int] | None:
+        """``*n`` / ``*lo..hi`` / ``*..hi`` inside a relationship →
+        (lo, hi); the unbounded ``*`` is rejected (a PathExpand with
+        no upper bound is a full transitive closure — at 100 TB that
+        is a bug, not a query)."""
+        if not p.accept("op", "*"):
+            return None
+        lo = None
+        if p.peek()[0] == "num":
+            lo = int(ast.literal_eval(p.next()[1]))
+        if p.accept("op", ".."):
+            if p.peek()[0] != "num":
+                raise ValueError(
+                    "variable-length pattern needs a finite upper "
+                    "bound (use *lo..hi)"
+                )
+            hi = int(ast.literal_eval(p.next()[1]))
+            lo = 1 if lo is None else lo
+        elif lo is not None:
+            hi = lo
+        else:
+            raise ValueError(
+                "unbounded * is not supported; give a bound (*n or "
+                "*lo..hi)"
+            )
+        if lo < 1 or hi < lo:
+            raise ValueError(f"bad variable-length bounds *{lo}..{hi}")
+        return lo, hi
+
+    def _edge(self, p: _Parser) -> tuple[str, str | None,
+                                         tuple[int, int] | None]:
+        """Arrow segment → (direction 'out'|'in'|'both', edge label,
+        variable-length bounds or None)."""
         t = p.next()
         if t == ("arrow", "-->"):
-            return "out", None
+            return "out", None, None
         if t == ("arrow", "<--"):
-            return "in", None
+            return "in", None, None
         if t == ("arrow", "--"):
-            return "both", None
+            return "both", None, None
         if t[0] == "arrow" and t[1] in ("-[", "<-["):
             into = t[1] == "-["
             if p.peek()[0] == "name":
@@ -160,15 +223,16 @@ class _Compiler:
             elabel = None
             if p.accept("op", ":"):
                 elabel = p.expect("name")[1]
+            varlen = self._varlen(p)
             closing = p.next()
             if closing[0] != "arrow" or closing[1] not in ("]->", "]-"):
                 raise ValueError(f"bad relationship segment near {closing[1]!r}")
             if into and closing[1] == "]->":
-                return "out", elabel
+                return "out", elabel, varlen
             if into and closing[1] == "]-":
-                return "both", elabel
+                return "both", elabel, varlen
             if not into and closing[1] == "]-":
-                return "in", elabel
+                return "in", elabel, varlen
             raise ValueError("relationship cannot point both ways")
         raise ValueError(f"expected a relationship, got {t[1]!r}")
 
@@ -188,15 +252,31 @@ class _Compiler:
         ).select(F.col("id").alias(var))
         return df.join(lab, var, "left_semi")
 
+    def _apply_vfilters(self, df: DataFrame, var: str,
+                        filters: list) -> DataFrame:
+        for prop, val in filters:
+            if prop not in self.g.vertices.columns:
+                raise ValueError(
+                    f"pattern filters on {{{prop}: ...}} but the "
+                    "vertex table has no such column"
+                )
+            keep = self.g.vertices.where(
+                F.col(prop) == F.lit(val)
+            ).select(F.col("id").alias(var))
+            df = df.join(keep, var, "left_semi")
+        return df
+
     def pattern(self, p: _Parser) -> DataFrame:
-        var, label = self._node(p)
-        self.node_vars.append(var)
+        var, label, vfilters = self._node(p)
+        if var not in self.node_vars:
+            self.node_vars.append(var)
         df = self.g.vertices.select(F.col("id").alias(var))
         if label:
             df = self._apply_vlabel(df, var, label)
+        df = self._apply_vfilters(df, var, vfilters)
         while p.peek()[0] == "arrow":
-            direction, elabel = self._edge(p)
-            nvar, nlabel = self._node(p)
+            direction, elabel, varlen = self._edge(p)
+            nvar, nlabel, nfilters = self._node(p)
             if direction == "out":
                 e = self.g.edges
                 a, b = "src", "dst"
@@ -215,14 +295,45 @@ class _Compiler:
                 e = e.where(F.col("label") == F.lit(elabel))
             closed = nvar in df.columns
             land = nvar if not closed else f"__close_{nvar}"
-            hop = e.select(F.col(a).alias(var), F.col(b).alias(land))
-            df = df.join(hop, var)
+            if varlen is None:
+                hop = e.select(F.col(a).alias(var), F.col(b).alias(land))
+                df = df.join(hop, var)
+            else:
+                # GIE PathExpand: union of the lo..hi hop expansions,
+                # intermediate vertices anonymous (pruned before the
+                # union so every branch carries the same columns)
+                lo, hi = varlen
+                base_cols = df.columns
+                branches = []
+                cur = df
+                prev = var
+                for k in range(1, hi + 1):
+                    step_land = f"__vl{k}"
+                    step = e.select(
+                        F.col(a).alias(prev), F.col(b).alias(step_land)
+                    )
+                    cur = cur.join(step, prev)
+                    if k >= lo:
+                        branches.append(
+                            cur.select(
+                                *base_cols,
+                                F.col(step_land).alias(land),
+                            )
+                        )
+                    prev = step_land
+                df = branches[0]
+                for br in branches[1:]:
+                    df = df.unionByName(br)
             if closed:
                 df = df.where(F.col(nvar) == F.col(land)).drop(land)
+                if nlabel:
+                    df = self._apply_vlabel(df, nvar, nlabel)
+                df = self._apply_vfilters(df, nvar, nfilters)
             else:
                 self.node_vars.append(nvar)
                 if nlabel:
                     df = self._apply_vlabel(df, nvar, nlabel)
+                df = self._apply_vfilters(df, nvar, nfilters)
             var = nvar
         return df
 
@@ -298,20 +409,31 @@ class _Compiler:
         return self._expr(p)
 
     # ------------------------------------------------------ return
+    #: aggregate keyword -> Column aggregator; collect_list is sorted
+    #: so the bag has one engine-portable representation
+    _AGGS = {
+        "COUNT": F.count, "SUM": F.sum, "MIN": F.min, "MAX": F.max,
+        "AVG": F.avg,
+        "COLLECT": lambda c: F.sort_array(F.collect_list(c)),
+    }
+
     def return_items(self, p: _Parser):
-        """→ list of (kind 'key'|'count', factory, alias)."""
+        """→ list of (kind 'key'|'agg', factory, alias)."""
         items = []
         while True:
-            if p.accept("kw", "COUNT"):
+            t = p.peek()
+            if t[0] == "kw" and t[1] in self._AGGS:
+                kw = p.next()[1]
+                agg = self._AGGS[kw]
                 p.expect("op", "(")
-                if p.accept("op", "*"):
+                if kw == "COUNT" and p.accept("op", "*"):
                     fac, name = (lambda: F.count(F.lit(1))), "count"
                 else:
                     inner, iname = self._operand(p)
-                    fac = (lambda inner=inner: F.count(inner()))
-                    name = f"count_{iname}"
+                    fac = (lambda agg=agg, inner=inner: agg(inner()))
+                    name = f"{kw.lower()}_{iname}"
                 p.expect("op", ")")
-                kind = "count"
+                kind = "agg"
             else:
                 fac, name = self._operand(p)
                 kind = "key"
@@ -337,6 +459,19 @@ def cypher(graph: Graph, query: str) -> DataFrame:
     c = _Compiler(graph)
     p.expect("kw", "MATCH")
     df = c.pattern(p)
+    while p.accept("op", ","):
+        # conjunctive pattern: join on shared variables (Cypher's
+        # comma = same-clause pattern conjunction); disjoint patterns
+        # are rejected rather than silently cross-producted
+        other = c.pattern(p)
+        common = [col for col in df.columns if col in other.columns]
+        if not common:
+            raise ValueError(
+                "comma-separated MATCH patterns must share at least "
+                "one variable (a cartesian product at graph scale is "
+                "a bug, not a query)"
+            )
+        df = df.join(other, common)
     pred = None
     if p.accept("kw", "WHERE"):
         pred = c.where(p)
@@ -356,6 +491,9 @@ def cypher(graph: Graph, query: str) -> DataFrame:
             order.append((col, desc))
             if not p.accept("op", ","):
                 break
+    skip = None
+    if p.accept("kw", "SKIP"):
+        skip = int(ast.literal_eval(p.expect("num")[1]))
     limit = None
     if p.accept("kw", "LIMIT"):
         limit = int(ast.literal_eval(p.expect("num")[1]))
@@ -372,7 +510,7 @@ def cypher(graph: Graph, query: str) -> DataFrame:
     if pred is not None:
         df = df.where(pred())
     keys = [(fac, name) for kind, fac, name in items if kind == "key"]
-    aggs = [(fac, name) for kind, fac, name in items if kind == "count"]
+    aggs = [(fac, name) for kind, fac, name in items if kind == "agg"]
     if aggs:
         agg_cols = [fac().alias(name) for fac, name in aggs]
         if keys:
@@ -392,6 +530,8 @@ def cypher(graph: Graph, query: str) -> DataFrame:
             F.col(cn).desc() if d else F.col(cn).asc()
             for cn, d in order
         ])
+    if skip is not None:
+        df = df.offset(skip)
     if limit is not None:
         df = df.limit(limit)
     return df

@@ -1808,6 +1808,44 @@ GROUP BY e.src ORDER BY deg DESC, a ASC LIMIT 20"""
 )
 
 
+def q_cypher_varlen(spark, sf_dir):
+    """Variable-length Cypher pattern (GIE PathExpand,
+    ``physical.proto:213-260``) through the driver protocol: bag count
+    of 1..2-hop directed co-order paths out of size-1 parts — inline
+    property map + ``-[*1..2]->`` + implicit-group aggregate, one lazy
+    plan (the hop union stays a DataFrame union of joins; nothing
+    collects)."""
+    from graphscope_spark.cypher import cypher
+
+    verts, dedges = part_edges(spark, sf_dir)
+    attrs = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_size").alias("size")
+    )
+    g = Graph.from_edges(
+        dedges, directed=True, vertices=verts.join(attrs, "id")
+    )
+    return cypher(
+        g,
+        "MATCH (a {size: 1})-[*1..2]->(b) "
+        "RETURN b, count(*) AS paths ORDER BY paths DESC, b ASC LIMIT 20",
+    )
+
+
+_CYPHER_VARLEN_SQL = (
+    "WITH " + _G + """,
+att AS (SELECT p_partkey AS id, p_size FROM part),
+srcs AS (SELECT v.id FROM verts v JOIN att ON att.id = v.id
+         WHERE att.p_size = 1),
+p1 AS (SELECT s.id AS a, e.dst AS b
+       FROM srcs s JOIN dedges e ON e.src = s.id),
+p2 AS (SELECT p1.a, e.dst AS b
+       FROM p1 JOIN dedges e ON e.src = p1.b),
+u AS (SELECT b FROM p1 UNION ALL SELECT b FROM p2)
+SELECT b, count(*) AS paths FROM u
+GROUP BY b ORDER BY paths DESC, b ASC LIMIT 20"""
+)
+
+
 def q_boundary(spark, sf_dir):
     from graphscope_spark.operators.misc import node_boundary
 
@@ -4274,7 +4312,7 @@ _REGISTRY_ORDER = [
     # NEW in round 5: the assortativity-family close-out (the last
     # .gs_conf.yaml registry algo with no analog) and edge_boundary
     "attr_assortativity", "numeric_assortativity", "edge_boundary",
-    "gie_shortest_path", "cypher_topdeg",
+    "gie_shortest_path", "cypher_topdeg", "cypher_varlen",
     # new or operator-changed in round 4: full APSP (landmark
     # batches), property-graph projection, single-action-per-round
     # eigenvector/HITS, and the dedup family whose LSH banding gained
@@ -4306,7 +4344,7 @@ _REGISTRY_ORDER = [
     "voterank", "fluid", "ppr",
     "tri_variants",
     "ann_ivf", "louvain", "modularity",
-    "node2vec_walks", "skipgram_pairs",
+    "node2vec_walks",
     # gremlin_2hop_bag re-enters because gie.py/gremlin.py gained the
     # shortestPath step this round (additive, but the window rule is
     # module-level); tri_count AND triangles rotate to the tail to
@@ -4320,8 +4358,9 @@ _REGISTRY_ORDER = [
     "cdlp",
     "sample_neighbors",
     # rotated out r5 (see window note above): r4-green, operator
-    # modules untouched this round
-    "tri_count", "triangles",
+    # modules untouched this round (skipgram_pairs: walks.py is
+    # untouched in r5; it made room for the late-r5 cypher_varlen)
+    "tri_count", "triangles", "skipgram_pairs",
     # ---- position 51+: stable driver-green entries, untouched this
     # round.  The late-r4 window additions (dfs, node2vec_walks,
     # skipgram_pairs, triangles, tri_count, cdlp, gremlin_2hop_bag)
@@ -4519,6 +4558,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
             q_gie_shortest_path, _gie_shortest_path_sql(6)
         ),
         "cypher_topdeg": (q_cypher_topdeg, _CYPHER_TOPDEG_SQL),
+        "cypher_varlen": (q_cypher_varlen, _CYPHER_VARLEN_SQL),
         "assortativity": (
             q_assortativity,
             "WITH " + _G + ",\n"

@@ -137,3 +137,99 @@ def test_unbound_variable_raises(spark, g):
 def test_trailing_garbage_raises(spark, g):
     with pytest.raises(ValueError):
         cypher(g, "MATCH (a) RETURN a LIMIT 3 banana")
+
+
+# ---------------------------------------------------------------- r5
+# extensions: variable-length hops, property maps, conjunctive
+# patterns, sum/min/max/avg/collect, SKIP
+
+def _khop(k):
+    """Bag of (a, c) pairs reachable in exactly k directed hops."""
+    pairs = [(a, b) for a, b in EDGES]
+    for _ in range(k - 1):
+        pairs = [(a, c) for a, b in pairs for b2, c in EDGES if b == b2]
+    return pairs
+
+
+def test_varlen_exact(spark, g):
+    got = rows(cypher(g, "MATCH (a)-[*2]->(b) RETURN a, b"), "a", "b")
+    assert got == sorted(_khop(2))
+
+
+def test_varlen_range_union(spark, g):
+    got = rows(cypher(g, "MATCH (a)-[*1..3]->(b) RETURN a, b"), "a", "b")
+    assert got == sorted(_khop(1) + _khop(2) + _khop(3))
+
+
+def test_varlen_open_low_and_label_direction(spark, g):
+    got = rows(cypher(g, "MATCH (a)<-[*..2]-(b) RETURN a, b"), "a", "b")
+    want = sorted((c, a) for a, c in _khop(1) + _khop(2))
+    assert got == want
+
+
+def test_varlen_closes_cycles(spark, g):
+    q = "MATCH (a)-[*3]->(a) RETURN DISTINCT a"
+    got = rows(cypher(g, q), "a")
+    assert got == sorted({(a,) for a, c in _khop(3) if a == c})
+
+
+def test_varlen_unbounded_rejected(spark, g):
+    with pytest.raises(ValueError, match="unbounded"):
+        cypher(g, "MATCH (a)-[*]->(b) RETURN a, b")
+
+
+def test_property_map_filter(spark, g):
+    q = "MATCH (a {cat: 'b'})-->(b {num: 2}) RETURN a, b"
+    got = rows(cypher(g, q), "a", "b")
+    cat = {i: c for i, c, _ in VERTS}
+    num = {i: n for i, _, n in VERTS}
+    want = sorted((a, b) for a, b in EDGES
+                  if cat[a] == "b" and num[b] == 2)
+    assert got == want
+
+
+def test_conjunctive_patterns_share_vars(spark, g):
+    # same result as the chained two-hop written as two patterns
+    q = "MATCH (a)-->(b), (b)-->(c) RETURN a, b, c"
+    got = rows(cypher(g, q), "a", "b", "c")
+    want = sorted((a, b, c) for a, b in EDGES
+                  for b2, c in EDGES if b == b2)
+    assert got == want
+
+
+def test_conjunctive_disjoint_rejected(spark, g):
+    with pytest.raises(ValueError, match="share"):
+        cypher(g, "MATCH (a)-->(b), (x)-->(y) RETURN a, x")
+
+
+def test_sum_avg_min_max_grouped(spark, g):
+    q = ("MATCH (a)-->(b) RETURN a, sum(b.num) AS s, min(b.num) AS lo, "
+         "max(b.num) AS hi, avg(b.num) AS m ORDER BY a")
+    num = {i: n for i, _, n in VERTS}
+    import statistics
+    got = [(r["a"], r["s"], r["lo"], r["hi"], r["m"])
+           for r in cypher(g, q).collect()]
+    want = []
+    for a in sorted({x for x, _ in EDGES}):
+        ns = [num[b] for x, b in EDGES if x == a]
+        want.append((a, sum(ns), min(ns), max(ns),
+                     statistics.mean(ns)))
+    assert [w[:4] for w in want] == [gt[:4] for gt in got]
+    assert all(abs(w[4] - gt[4]) < 1e-9 for w, gt in zip(want, got))
+
+
+def test_collect_sorted_bag(spark, g):
+    q = "MATCH (a)-->(b) RETURN a, collect(b) AS ns ORDER BY a"
+    got = {r["a"]: list(r["ns"]) for r in cypher(g, q).collect()}
+    want = {}
+    for a, b in EDGES:
+        want.setdefault(a, []).append(b)
+    assert got == {a: sorted(v) for a, v in want.items()}
+
+
+def test_skip_limit_pagination(spark, g):
+    base = "MATCH (a) RETURN a ORDER BY a"
+    all_ids = [r["a"] for r in cypher(g, base).collect()]
+    page = [r["a"] for r in
+            cypher(g, base + " SKIP 3 LIMIT 2").collect()]
+    assert page == all_ids[3:5]
