@@ -307,53 +307,54 @@ def semantic_dedup(
     mate clears the threshold, not only the group representative).
     """
     cent, assign = ivf_assign(corpus, n_centroids, id_col, vec_col)
+    # persist: the guard scan, the pair compare (both sides), and the
+    # final decision join all read the assignment (same convention as
+    # the LSH bucket/shingle persists in functions/dedup.py)
     assign = assign.persist()
-    try:
-        too_big = (
-            assign.groupBy("cid").count()
-            .where(F.col("count") > max_cluster_size)
-            .limit(1).collect()
-        )
-        if too_big:
-            raise ValueError(
-                f"semantic_dedup: cluster {too_big[0]['cid']} has "
-                f"{too_big[0]['count']} > max_cluster_size="
-                f"{max_cluster_size} vectors; raise n_centroids so the "
-                f"per-cluster pair-compare stays bounded"
-            )
-        a = assign.select(
-            F.col("cid"), F.col(id_col).alias("id_a"),
-            F.col("v").alias("va"), F.col("n").alias("na"),
-        )
-        b = assign.select(
-            F.col("cid"), F.col(id_col).alias("id_b"),
-            F.col("v").alias("vb"), F.col("n").alias("nb"),
-        )
-        dropped = (
-            a.join(b, "cid")
-            .where(F.col("id_a") < F.col("id_b"))
-            .withColumn(
-                "cos",
-                F.round(
-                    _dot(F.col("va"), F.col("vb"))
-                    / (F.col("na") * F.col("nb")), 6,
-                ),
-            )
-            .where(F.col("cos") >= threshold)
-            .select(F.col("id_b").alias(id_col))
-            .distinct()
-            .withColumn("dup", F.lit(True))
-        )
-        return (
-            assign.select(id_col, "cid")
-            .join(dropped, id_col, "left")
-            .select(
-                id_col, "cid",
-                F.coalesce(~F.col("dup"), F.lit(True)).alias("keep"),
-            )
-        ).localCheckpoint()
-    finally:
+    too_big = (
+        assign.groupBy("cid").count()
+        .where(F.col("count") > max_cluster_size)
+        .limit(1).collect()
+    )
+    if too_big:
         assign.unpersist()
+        raise ValueError(
+            f"semantic_dedup: cluster {too_big[0]['cid']} has "
+            f"{too_big[0]['count']} > max_cluster_size="
+            f"{max_cluster_size} vectors; raise n_centroids so the "
+            f"per-cluster pair-compare stays bounded"
+        )
+    a = assign.select(
+        F.col("cid"), F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"), F.col("n").alias("na"),
+    )
+    b = assign.select(
+        F.col("cid"), F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"), F.col("n").alias("nb"),
+    )
+    dropped = (
+        a.join(b, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")), 6,
+            ),
+        )
+        .where(F.col("cos") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("dup", F.lit(True))
+    )
+    return (
+        assign.select(id_col, "cid")
+        .join(dropped, id_col, "left")
+        .select(
+            id_col, "cid",
+            F.coalesce(~F.col("dup"), F.lit(True)).alias("keep"),
+        )
+    )
 
 
 def ivf_topk(

@@ -153,6 +153,41 @@ def main() -> None:
           and "CartesianProduct" not in p
           and "BroadcastNestedLoopJoin" not in p, "")
 
+    # 14. semantic dedup: the only nested-loop allowed anywhere is
+    # the tiny broadcast against the n_centroids codebook (inside
+    # ivf_assign); the intra-cluster pair compare must be a keyed
+    # join on cid, never a corpus-wide nested loop.  The assignment
+    # is audited uncached (the cached q_semantic_dedup plan hides it
+    # behind an InMemoryTableScan leaf).
+    import re
+
+    from graphscope_spark.entry import q_semantic_dedup
+    from graphscope_spark.functions.similarity import ivf_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    _, assign = ivf_assign(emb)
+    p = plan_of(assign)
+    # formatted explain prints each node twice (tree + details) —
+    # count distinct "(id) Node" detail headers
+    n_bnlj = len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin",
+                            p, re.M))
+    check("ivf assign: exactly the one centroid-codebook broadcast",
+          n_bnlj == 1 and "CartesianProduct" not in p, "")
+    p = plan_of(q_semantic_dedup(spark, sf_dir))
+    # every nested-loop here must sit INSIDE the cached assignment
+    # relation (computed once; the data path reads the cache): the
+    # outer joins are keyed, and each tree occurrence of a BNLJ is
+    # preceded by more InMemoryRelation markers than complete cached
+    # subtrees could close — assert the cheap invariants: no true
+    # cartesian anywhere, cache reuse present, and the only BNLJ node
+    # ids are the re-printed cached centroid scoring (≤ 2 distinct)
+    n_bnlj = len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin",
+                            p, re.M))
+    check("semantic-dedup: intra-cluster compare is a keyed join",
+          "CartesianProduct" not in p
+          and "InMemoryTableScan" in p
+          and n_bnlj <= 2, "")
+
     spark.stop()
     fails = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(fails)}/{len(CHECKS)} checks passed")
