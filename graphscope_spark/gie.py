@@ -305,15 +305,41 @@ class Traversal:
             self._anchor,
         )
 
-    def repeat(self, step: str, times: int) -> "Traversal":
+    def repeat(self, step: str, times: int,
+               emit: bool = False) -> "Traversal":
         """Gremlin ``repeat(out()).times(k)``: apply ``step`` ("out",
         "in_", "both") ``times`` times — the plan stays one lazy
         chain of joins, so Catalyst optimizes the whole unrolled
-        pipeline."""
+        pipeline.  With ``emit=True`` (Gremlin
+        ``repeat(out()).emit().times(k)`` — emit-after placement) the
+        result is the bag union of every intermediate level 1..k, as
+        one DataFrame union of the unrolled branches."""
         t = self
+        levels = []
         for _ in range(times):
             t = getattr(t, step)()
-        return t
+            if emit:
+                levels.append(t)
+        if not emit:
+            return t
+        df = levels[0]._df
+        for lv in levels[1:]:
+            df = df.unionByName(lv._df)
+        return Traversal(self._g, df, t._kind, t._anchor)
+
+    def simplePath(self) -> "Traversal":
+        """Gremlin ``simplePath()``: keep only traversers whose path
+        history has no repeated vertex (requires
+        ``V(..., track_path=True)``) — a JVM-side array predicate, no
+        per-row Python."""
+        assert "p" in self._df.columns, (
+            "start the traversal with track_path=True to use "
+            "simplePath()"
+        )
+        df = self._df.where(
+            F.size(F.array_distinct(F.col("p"))) == F.size(F.col("p"))
+        )
+        return Traversal(self._g, df, self._kind, self._anchor)
 
     def shortestPath(
         self,

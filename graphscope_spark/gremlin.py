@@ -34,7 +34,7 @@ _PLAIN = {
     "has", "hasId", "out", "in_", "both", "outE", "inE", "bothE",
     "otherV", "bothV", "dedup", "limit", "groupCount", "values",
     "valueMap", "count", "path", "toList", "as_", "select_", "coin",
-    "shortestPath",
+    "shortestPath", "simplePath",
 }
 
 
@@ -128,10 +128,17 @@ def gremlin(graph: Graph, query: str):
                     f"repeat() supports a single bare step, got {argstr!r}"
                 )
             step = _RENAME.get(inner[0][0], inner[0][0])
+            emit = False
+            if i + 1 < len(calls) and calls[i + 1][0] == "emit":
+                emit = True
+                i += 1
             if i + 1 >= len(calls) or calls[i + 1][0] != "times":
-                raise ValueError("repeat(...) must be followed by .times(k)")
+                raise ValueError(
+                    "repeat(...) must be followed by .times(k) "
+                    "(optionally .emit().times(k))"
+                )
             (k,) = _args(calls[i + 1][1])
-            out = out.repeat(step, int(k))
+            out = out.repeat(step, int(k), emit=emit)
             i += 2
             continue
         elif name in _PLAIN:

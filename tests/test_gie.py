@@ -154,3 +154,47 @@ def test_both_bag_semantics_and_edge_coin(spark):
     gs = traversal(Graph.from_edges(star, directed=True))
     kept = gs.V(0).outE().coin(0.5).count()
     assert 0 < kept < 29
+
+
+def test_repeat_emit_unions_levels(spark):
+    g = traversal(_g(spark))
+    # levels from 0: out¹={1,2}, out²={2,3}, out³={3,0} — emit is
+    # their bag union
+    want = sorted([1, 2] + [2, 3] + [3, 0])
+    got = sorted(g.V(0).repeat("out", 3, emit=True).toList())
+    assert got == want
+    # emit=False unchanged: just the final level
+    assert sorted(g.V(0).repeat("out", 3).toList()) == [0, 3]
+
+
+def test_simple_path_filters_revisits(spark):
+    g = traversal(_g(spark))
+    # 3 hops from 0: 0-1-2-3, 0-2-3-0 — the second revisits 0
+    paths = {tuple(r["path"]) for r in
+             g.V(0, track_path=True).repeat("out", 3)
+             .simplePath().path().collect()}
+    assert paths == {(0, 1, 2, 3)}
+    # without simplePath both traversers survive
+    allp = {tuple(r["path"]) for r in
+            g.V(0, track_path=True).repeat("out", 3).path().collect()}
+    assert allp == {(0, 1, 2, 3), (0, 2, 3, 0)}
+
+
+def test_gremlin_string_emit_and_simple_path(spark):
+    from graphscope_spark.gremlin import gremlin
+
+    gr = _g(spark)
+    # string twin of the fluent emit union
+    got = sorted(
+        r["id"] for r in
+        gremlin(gr, "g.V(0).repeat(out()).emit().times(3)").toDF().collect()
+    )
+    want = sorted(
+        traversal(gr).V(0).repeat("out", 3, emit=True).toList()
+    )
+    assert got == want
+    # simplePath through the string surface
+    paths = {tuple(r["path"]) for r in
+             gremlin(gr, "g.V(0).repeat(out()).times(3).simplePath().path()")
+             .collect()}
+    assert paths == {(0, 1, 2, 3)}
