@@ -32,6 +32,16 @@ Supported subset::
                                          choice); works with ``<-`` /
                                          ``-`` and edge labels
     MATCH (a:L {prop: 3})                inline property-map filters
+    OPTIONAL MATCH (a)-->(x) WHERE ...   left-join extension: rows of
+                                         the mandatory match survive
+                                         with NULL-bound new variables
+                                         when the optional pattern
+                                         (after its own WHERE, which
+                                         may only reference variables
+                                         bound in the optional
+                                         pattern) finds no match;
+                                         ``count(x)`` then counts 0,
+                                         per Cypher semantics
     WHERE a.prop > 5 AND (b <> c OR NOT a.prop = 'x')
                                          comparisons over node vars
                                          (= their ids), ``var.prop``
@@ -84,7 +94,7 @@ _TOKEN = re.compile(
 _KEYWORDS = {
     "MATCH", "WHERE", "RETURN", "DISTINCT", "AS", "ORDER", "BY",
     "ASC", "DESC", "LIMIT", "SKIP", "AND", "OR", "NOT", "COUNT", "ID",
-    "SUM", "MIN", "MAX", "AVG", "COLLECT",
+    "SUM", "MIN", "MAX", "AVG", "COLLECT", "OPTIONAL",
 }
 
 
@@ -475,6 +485,68 @@ def cypher(graph: Graph, query: str) -> DataFrame:
     pred = None
     if p.accept("kw", "WHERE"):
         pred = c.where(p)
+    while p.accept("kw", "OPTIONAL"):
+        # OPTIONAL MATCH = left-join extension: compile the optional
+        # pattern (and its own WHERE) standalone, then left-join on
+        # the shared variables so non-matching rows survive with
+        # NULL-bound new variables
+        p.expect("kw", "MATCH")
+        odf = c.pattern(p)
+        while p.accept("op", ","):
+            o2 = c.pattern(p)
+            ocommon = [col for col in odf.columns if col in o2.columns]
+            if not ocommon:
+                raise ValueError(
+                    "comma-separated OPTIONAL MATCH patterns must "
+                    "share at least one variable"
+                )
+            odf = odf.join(o2, ocommon)
+        if p.accept("kw", "WHERE"):
+            # the optional WHERE runs BEFORE the left join (it decides
+            # what counts as a match) — parse it with a fresh props
+            # scope so EVERY vertex property it references (even one
+            # the mandatory WHERE also used) is joined into the
+            # optional side now; the final property-join pass skips
+            # columns already present
+            saved_props = c.props
+            c.props = {}
+            opred = c.where(p)
+            opt_props, c.props = c.props, saved_props
+            opt_prop_cols: list[tuple[str, str]] = []
+            for v, ps in opt_props.items():
+                c.props.setdefault(v, set()).update(ps)
+                for pr in sorted(ps):
+                    if v not in odf.columns:
+                        raise ValueError(
+                            "OPTIONAL MATCH WHERE may only reference "
+                            "variables bound in the optional pattern "
+                            f"(got {v}.{pr})"
+                        )
+                    opt_prop_cols.append((v, f"{v}_{pr}"))
+                    if f"{v}_{pr}" in odf.columns:
+                        continue
+                    sel = graph.vertices.select(
+                        F.col("id").alias(v),
+                        F.col(pr).alias(f"{v}_{pr}"),
+                    )
+                    odf = odf.join(sel, v, "left")
+            odf = odf.where(opred())
+            # prop columns of SHARED variables must not ride through
+            # the left join — they would come back NULL on unmatched
+            # rows while the variable itself stays bound on the
+            # mandatory side; drop them and let the final
+            # property-join pass re-derive them mandatory-side
+            shared_prop_cols = [cn for v, cn in opt_prop_cols
+                                if v in df.columns]
+            if shared_prop_cols:
+                odf = odf.drop(*shared_prop_cols)
+        common = [col for col in df.columns if col in odf.columns]
+        if not common:
+            raise ValueError(
+                "OPTIONAL MATCH must share at least one variable with "
+                "the preceding match"
+            )
+        df = df.join(odf, common, "left")
     p.expect("kw", "RETURN")
     distinct = p.accept("kw", "DISTINCT")
     items = c.return_items(p)
@@ -501,10 +573,15 @@ def cypher(graph: Graph, query: str) -> DataFrame:
         raise ValueError(f"trailing input near {p.peek()[1]!r}")
 
     # join referenced vertex properties, one pruned join per variable
+    # (skipping any already joined into an OPTIONAL MATCH side)
     for var, props in c.props.items():
+        missing = [pr for pr in sorted(props)
+                   if f"{var}_{pr}" not in df.columns]
+        if not missing:
+            continue
         sel = graph.vertices.select(
             F.col("id").alias(var),
-            *[F.col(pr).alias(f"{var}_{pr}") for pr in sorted(props)],
+            *[F.col(pr).alias(f"{var}_{pr}") for pr in missing],
         )
         df = df.join(sel, var, "left")
     if pred is not None:

@@ -233,3 +233,64 @@ def test_skip_limit_pagination(spark, g):
     page = [r["a"] for r in
             cypher(g, base + " SKIP 3 LIMIT 2").collect()]
     assert page == all_ids[3:5]
+
+
+def test_optional_match_null_extension(spark, g):
+    # vertex 4 has out-degree 1 (4->5); every vertex has some out-edge
+    # in EDGES... construct via label filter instead: optional partner
+    # with num > 4 — only vertex 4 qualifies as b
+    q = ("MATCH (a) OPTIONAL MATCH (a)-->(b) WHERE b.num > 4 "
+         "RETURN a, b ORDER BY a, b")
+    got = [(r["a"], r["b"]) for r in cypher(g, q).collect()]
+    num = {i: n for i, _, n in VERTS}
+    want = []
+    for a, _, _ in VERTS:
+        matches = [b for x, b in EDGES if x == a and num[b] > 4]
+        if matches:
+            want.extend((a, b) for b in sorted(matches))
+        else:
+            want.append((a, None))
+    assert got == sorted(want, key=lambda t: (t[0], (t[1] is not None, t[1])))
+
+
+def test_optional_match_count_zero(spark, g):
+    q = ("MATCH (a) OPTIONAL MATCH (a)-->(b) WHERE b.num > 4 "
+         "RETURN a, count(b) AS n ORDER BY a")
+    got = {r["a"]: r["n"] for r in cypher(g, q).collect()}
+    num = {i: n for i, _, n in VERTS}
+    want = {a: sum(1 for x, b in EDGES if x == a and num[b] > 4)
+            for a, _, _ in VERTS}
+    assert got == want
+
+
+def test_optional_match_disjoint_rejected(spark, g):
+    with pytest.raises(ValueError, match="share"):
+        cypher(g, "MATCH (a) OPTIONAL MATCH (x)-->(y) RETURN a, y")
+
+
+def test_optional_where_foreign_var_rejected(spark, g):
+    with pytest.raises(ValueError, match="OPTIONAL MATCH WHERE"):
+        cypher(g, "MATCH (a)-->(c) OPTIONAL MATCH (a)-->(b) "
+                  "WHERE c.num > 2 RETURN a, b")
+
+
+def test_optional_where_shared_prop_with_mandatory_where(spark, g):
+    # a.num referenced in BOTH the mandatory and the optional WHERE:
+    # the optional side must still see the property column
+    q = ("MATCH (a)-->(c) WHERE a.num > 1 "
+         "OPTIONAL MATCH (a)-->(b) WHERE a.num > 3 AND b.num > 3 "
+         "RETURN a, c, b ORDER BY a, c, b")
+    num = {i: n for i, _, n in VERTS}
+    got = [(r["a"], r["c"], r["b"]) for r in cypher(g, q).collect()]
+    want = []
+    for a, c in EDGES:
+        if num[a] <= 1:
+            continue
+        matches = sorted(b for x, b in EDGES
+                         if x == a and num[a] > 3 and num[b] > 3)
+        if matches:
+            want.extend((a, c, b) for b in matches)
+        else:
+            want.append((a, c, None))
+    key = lambda t: (t[0], t[1], (t[2] is not None, t[2]))
+    assert sorted(got, key=key) == sorted(want, key=key)
