@@ -1846,6 +1846,39 @@ GROUP BY b ORDER BY paths DESC, b ASC LIMIT 20"""
 )
 
 
+def q_cypher_optional(spark, sf_dir):
+    """OPTIONAL MATCH through the driver protocol: per-part count of
+    co-order partners of size > 45, with zero-partner parts SURVIVING
+    the optional pattern as count 0 — the left-join extension
+    semantics the reference's Cypher compiler lowers to an optional
+    EdgeExpand."""
+    from graphscope_spark.cypher import cypher
+
+    verts, dedges = part_edges(spark, sf_dir)
+    attrs = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_size").alias("size")
+    )
+    g = Graph.from_edges(
+        dedges, directed=True, vertices=verts.join(attrs, "id")
+    )
+    return cypher(
+        g,
+        "MATCH (a) OPTIONAL MATCH (a)-->(b) WHERE b.size > 45 "
+        "RETURN a, count(b) AS n",
+    )
+
+
+_CYPHER_OPTIONAL_SQL = (
+    "WITH " + _G + """,
+att AS (SELECT p_partkey AS id, p_size FROM part),
+big AS (SELECT e.src, e.dst FROM dedges e
+        JOIN att b ON b.id = e.dst WHERE b.p_size > 45)
+SELECT v.id AS a, count(big.dst) AS n
+FROM verts v LEFT JOIN big ON big.src = v.id
+GROUP BY v.id"""
+)
+
+
 def q_boundary(spark, sf_dir):
     from graphscope_spark.operators.misc import node_boundary
 
@@ -4313,6 +4346,7 @@ _REGISTRY_ORDER = [
     # .gs_conf.yaml registry algo with no analog) and edge_boundary
     "attr_assortativity", "numeric_assortativity", "edge_boundary",
     "gie_shortest_path", "cypher_topdeg", "cypher_varlen",
+    "cypher_optional",
     # new or operator-changed in round 4: full APSP (landmark
     # batches), property-graph projection, single-action-per-round
     # eigenvector/HITS, and the dedup family whose LSH banding gained
@@ -4344,7 +4378,6 @@ _REGISTRY_ORDER = [
     "voterank", "fluid", "ppr",
     "tri_variants",
     "ann_ivf", "louvain", "modularity",
-    "node2vec_walks",
     # gremlin_2hop_bag re-enters because gie.py/gremlin.py gained the
     # shortestPath step this round (additive, but the window rule is
     # module-level); tri_count AND triangles rotate to the tail to
@@ -4360,7 +4393,7 @@ _REGISTRY_ORDER = [
     # rotated out r5 (see window note above): r4-green, operator
     # modules untouched this round (skipgram_pairs: walks.py is
     # untouched in r5; it made room for the late-r5 cypher_varlen)
-    "tri_count", "triangles", "skipgram_pairs",
+    "tri_count", "triangles", "skipgram_pairs", "node2vec_walks",
     # ---- position 51+: stable driver-green entries, untouched this
     # round.  The late-r4 window additions (dfs, node2vec_walks,
     # skipgram_pairs, triangles, tri_count, cdlp, gremlin_2hop_bag)
@@ -4559,6 +4592,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         ),
         "cypher_topdeg": (q_cypher_topdeg, _CYPHER_TOPDEG_SQL),
         "cypher_varlen": (q_cypher_varlen, _CYPHER_VARLEN_SQL),
+        "cypher_optional": (q_cypher_optional, _CYPHER_OPTIONAL_SQL),
         "assortativity": (
             q_assortativity,
             "WITH " + _G + ",\n"
