@@ -5,11 +5,14 @@ dependency order, each stage reading only what the previous one kept:
 
 1. exact dedup        — sha256 groups, keep canonical doc per group
 2. near-dup dedup     — MinHash/LSH groups, keep canonical doc
-3. decontamination    — drop docs overlapping the benchmark set
-4. quality filter     — Gopher-style length/punct + repetition gates
-5. PII scrub          — redact emails/IPs/phones in the kept text
-6. stratified sample  — deterministic per-language rebalance
-7. sequence packing   — global token offsets + context-window bins
+3. semantic dedup     — SemDeDup-style: IVF clusters over the doc
+                        embeddings, drop intra-cluster cosine dups
+                        (docs with no embedding pass through)
+4. decontamination    — drop docs overlapping the benchmark set
+5. quality filter     — Gopher-style length/punct + repetition gates
+6. PII scrub          — redact emails/IPs/phones in the kept text
+7. stratified sample  — deterministic per-language rebalance
+8. sequence packing   — global token offsets + context-window bins
 
 Usage::
 
@@ -22,10 +25,12 @@ wall time; with ``--out``, also writes the packed corpus as parquet
 partitioned by ``bin_id`` (the layout a dataloader shards by).
 
 Scale notes: stages 1-2 shuffle on content hashes (bounded by the
-dedup candidate machinery in functions/dedup.py), stage 3 broadcasts
-the benchmark shingle set, stages 4-5 are pure projections/filters,
-stage 6 is the two-phase prefix scan.  Nothing in the chain collects
-more than per-stage scalar counts to the driver.
+dedup candidate machinery in functions/dedup.py), stage 3 on IVF
+cluster ids (per-cluster pair compare, max_cluster_size-guarded),
+stage 4 broadcasts the benchmark shingle set, stages 5-6 are pure
+projections/filters, stage 8 is the two-phase prefix scan.  Nothing
+in the chain collects more than per-stage scalar counts to the
+driver.
 """
 
 from __future__ import annotations
@@ -93,7 +98,24 @@ def main() -> None:
     docs = cut(docs.join(keep, "doc_id", "left_semi"))
     stages["near_dedup"] = docs.count()
 
-    # 3. decontamination vs the held-out benchmark sources
+    # 3. semantic dedup over the embedding table (SemDeDup): docs
+    # whose embedding is an intra-cluster cosine duplicate of a
+    # lower-id one are dropped; docs with no embedding pass through
+    emb_path = f"{args.sf_dir}/embeddings.parquet"
+    if os.path.exists(emb_path):
+        from graphscope_spark.functions.similarity import semantic_dedup
+
+        emb = spark.read.parquet(emb_path)
+        # 0.4 is the demonstration threshold for the near-orthogonal
+        # synthetic embeddings (same as the registered semantic_dedup
+        # query); real-corpus SemDeDup runs ~0.95 on trained encoders
+        sem_drop = semantic_dedup(
+            emb, threshold=0.4, n_centroids=8
+        ).where(~F.col("keep")).select(F.col("vec_id").alias("doc_id"))
+        docs = cut(docs.join(sem_drop, "doc_id", "left_anti"))
+    stages["semantic_dedup"] = docs.count()
+
+    # 4. decontamination vs the held-out benchmark sources
     bench = docs.where(F.col("source").isin(*args.bench_sources))
     train = docs.where(~F.col("source").isin(*args.bench_sources))
     decon = decontaminate(train, bench, n=3, min_ratio=0.2)
@@ -101,7 +123,7 @@ def main() -> None:
     docs = cut(train.join(clean, "doc_id", "left_semi"))
     stages["decontaminated"] = docs.count()
 
-    # 4. quality gates: length/punct score + repetition signals
+    # 5. quality gates: length/punct score + repetition signals
     ts = text_stats(docs).where(F.col("quality") >= 0.8).select("doc_id")
     rs = repetition_stats(docs).where(
         (F.col("distinct_ratio") >= 0.2) & (F.col("top_bigram_frac") <= 0.5)
@@ -111,7 +133,7 @@ def main() -> None:
     )
     stages["quality"] = docs.count()
 
-    # 5. PII scrub: replace text with the redacted version
+    # 6. PII scrub: replace text with the redacted version
     scrubbed = pii_scrub(docs)
     stages["pii_redactions"] = int(
         scrubbed.agg(
@@ -128,7 +150,7 @@ def main() -> None:
         )
     )
 
-    # 6. deterministic language rebalance
+    # 7. deterministic language rebalance
     docs = stratified_sample(
         docs, "lang",
         {"en": 0.5, "de": 0.9, "es": 0.9, "fr": 0.9, "zh": 0.9},
@@ -139,7 +161,7 @@ def main() -> None:
         for r in stratum_counts(docs, "lang").collect()
     }
 
-    # 7. pack into context windows
+    # 8. pack into context windows
     packed = pack_sequences(docs, window=512)
     stages["packed_bins"] = (
         packed.agg(F.countDistinct("bin_id")).first()[0]
