@@ -35,6 +35,7 @@ _APPS: dict[str, str] = {
     "sssp_average_length": "traversal:sssp_average_length",
     "apsp_lengths": "traversal:apsp_lengths",
     "apsp_full": "traversal:apsp_full_lengths",
+    "random_multi_bfs": "traversal:random_multi_bfs",
     "dfs": "dfs:dfs",
     "is_simple_path": "paths:is_simple_path",
     "all_simple_paths": "paths:all_simple_paths",

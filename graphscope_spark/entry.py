@@ -293,6 +293,42 @@ def q_bfs(spark, sf_dir):
     return bfs(g, int(source), symmetrize=True).select("id", "depth")
 
 
+def q_random_multi_bfs(spark, sf_dir):
+    """FLASH random multi-source BFS (registry algo
+    ``flash_random_multi_bfs``, ``random-multi-bfs.h:34``) on the
+    directed co-order graph: 8 h60-picked sources, per-vertex MAX
+    over the per-source hop distances, -1 when unreached."""
+    from graphscope_spark.operators.traversal import random_multi_bfs
+
+    return random_multi_bfs(part_graph(spark, sf_dir), k=8)
+
+
+def _random_multi_bfs_sql(k: int = 8, rounds: int = 8) -> str:
+    hp = _H60.format("'rmb:' || id::VARCHAR")
+    parts = [
+        _G,
+        f"hp AS (SELECT id, {hp} AS hp FROM verts)",
+        f"s AS (SELECT id AS source FROM hp ORDER BY hp, id LIMIT {k})",
+        "m0 AS (SELECT source, source AS id, 0 AS d FROM s)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"m{r + 1} AS (SELECT source, id, min(d) AS d FROM (\n"
+            f"          SELECT source, id, d FROM m{r}\n"
+            f"          UNION ALL\n"
+            f"          SELECT m.source, e.dst AS id, m.d + 1 AS d\n"
+            f"          FROM m{r} m JOIN dedges e ON e.src = m.id)\n"
+            f"          GROUP BY source, id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f""",
+mx AS (SELECT id, max(d) AS res FROM m{rounds} GROUP BY id)
+SELECT v.id, coalesce(mx.res, -1)::BIGINT AS res
+FROM verts v LEFT JOIN mx ON mx.id = v.id"""
+    )
+
+
 def q_rel_group_agg(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     return (
@@ -4366,6 +4402,7 @@ _REGISTRY_ORDER = [
     # multi_source_sssp loop changed late r4 (persist-handle cleanup
     # + shared batch edge table) — every consumer re-enters the
     # window: apsp_full is above; these are the rest
+    "random_multi_bfs",
     "apsp_sample", "sssp_avg_length", "closeness_sample",
     "closeness_full", "harmonic_sample",
     # third self-review batch changed these operators — all re-enter
@@ -4376,7 +4413,6 @@ _REGISTRY_ORDER = [
     "bfs", "sssp", "sssp_path", "sssp_has_path",
     "betweenness_sample", "edge_betweenness_sample",
     "voterank", "fluid", "ppr",
-    "tri_variants",
     "ann_ivf", "louvain", "modularity",
     # gremlin_2hop_bag re-enters because gie.py/gremlin.py gained the
     # shortestPath step this round (additive, but the window rule is
@@ -4391,9 +4427,13 @@ _REGISTRY_ORDER = [
     "cdlp",
     "sample_neighbors",
     # rotated out r5 (see window note above): r4-green, operator
-    # modules untouched this round (skipgram_pairs: walks.py is
-    # untouched in r5; it made room for the late-r5 cypher_varlen)
+    # modules untouched this round (skipgram_pairs/node2vec_walks:
+    # walks.py untouched in r5; tri_count/triangles/tri_variants:
+    # triangles.py untouched in r5) — they made room for the late-r5
+    # cypher_varlen, cypher_optional, semantic_dedup, and
+    # random_multi_bfs window entries
     "tri_count", "triangles", "skipgram_pairs", "node2vec_walks",
+    "tri_variants",
     # ---- position 51+: stable driver-green entries, untouched this
     # round.  The late-r4 window additions (dfs, node2vec_walks,
     # skipgram_pairs, triangles, tri_count, cdlp, gremlin_2hop_bag)
@@ -4593,6 +4633,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "cypher_topdeg": (q_cypher_topdeg, _CYPHER_TOPDEG_SQL),
         "cypher_varlen": (q_cypher_varlen, _CYPHER_VARLEN_SQL),
         "cypher_optional": (q_cypher_optional, _CYPHER_OPTIONAL_SQL),
+        "random_multi_bfs": (q_random_multi_bfs, _random_multi_bfs_sql()),
         "assortativity": (
             q_assortativity,
             "WITH " + _G + ",\n"

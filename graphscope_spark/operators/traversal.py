@@ -539,3 +539,50 @@ def apsp_full_lengths(
         f.unpersist()
     shared_edges.unpersist()
     return out
+
+
+def random_multi_bfs(
+    graph: Graph,
+    k: int = 8,
+    symmetrize: bool = False,
+    max_iter: int = 10_000,
+) -> DataFrame:
+    """FLASH random multi-source BFS (reference
+    ``apps/flash/traversal/random-multi-bfs.h:34``, registry algo
+    ``flash_random_multi_bfs``): ``k`` random source vertices flood
+    hop distances at once; each vertex reports ``res`` = the MAX over
+    the per-source distances that reach it, ``-1`` when no source
+    does.  The reference seeds ``rand_r(time(NULL))`` — here the
+    sources are the ``k`` smallest ``h60("rmb:" || id)`` vertices, the
+    repo's deterministic-sample convention, so a SQL oracle replays
+    the identical source set.  Returns ``(id long, res long)``.
+
+    Scale shape: one ``multi_source_sssp`` flood — messages
+    min-combine map-side per (source, dst), ONE shuffle per superstep
+    regardless of ``k`` (the analog of the reference's 64-bit seen
+    bitmask riding one message).
+    """
+    from graphscope_spark.functions.text import h60
+
+    srcs = (
+        graph.vertices
+        .withColumn(
+            "hp", h60(F.concat(F.lit("rmb:"), F.col("id").cast("string")))
+        )
+        .orderBy("hp", "id")
+        .limit(k)
+        .select("id")
+    )
+    d = multi_source_sssp(
+        graph, srcs, weight_col="__hop__", symmetrize=symmetrize,
+        max_iter=max_iter,
+    )
+    mx = d.groupBy("id").agg(F.max(F.col("dist").cast("long")).alias("res"))
+    return (
+        graph.vertices.select("id")
+        .join(mx, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("res"), F.lit(-1).cast("long")).alias("res"),
+        )
+    )

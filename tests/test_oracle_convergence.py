@@ -146,6 +146,11 @@ CASES = {
         lambda: E._degeneracy_sql(24, 28),
         lambda: E._degeneracy_sql(25, 29),
     ),
+    # round-5: FLASH random multi-source BFS hop flood
+    "random_multi_bfs": (
+        lambda: E._random_multi_bfs_sql(8, 8),
+        lambda: E._random_multi_bfs_sql(8, 9),
+    ),
 }
 
 

@@ -208,3 +208,25 @@ def test_semantic_dedup_cluster_size_guard(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="max_cluster_size"):
         semantic_dedup(df, n_centroids=1, max_cluster_size=10)
+
+
+def test_random_multi_bfs_nx_parity(spark):
+    from graphscope_spark.functions.text import h60_py
+    from graphscope_spark.operators.traversal import random_multi_bfs
+
+    g = _graph(spark, directed=True)
+    got = {r["id"]: r["res"]
+           for r in random_multi_bfs(g, k=3).collect()}
+    nxg = _nxg(True)
+    srcs = sorted((i for i, _, _ in VERTS),
+                  key=lambda i: (h60_py(f"rmb:{i}"), i))[:3]
+    want = {}
+    for i, _, _ in VERTS:
+        ds = []
+        for s in srcs:
+            try:
+                ds.append(nx.shortest_path_length(nxg, s, i))
+            except nx.NetworkXNoPath:
+                pass
+        want[i] = max(ds) if ds else -1
+    assert got == want
