@@ -152,6 +152,9 @@ class _Compiler:
         self.g = graph
         self.node_vars: list[str] = []
         self.props: dict[str, set] = {}  # var -> referenced props
+        #: when not None, _check_var logs every referenced variable
+        #: here (used to validate OPTIONAL MATCH WHERE scoping)
+        self.ref_vars: set[str] | None = None
         self._anon = 0
 
     # ------------------------------------------------------ pattern
@@ -377,6 +380,8 @@ class _Compiler:
     def _check_var(self, var: str):
         if var not in self.node_vars:
             raise ValueError(f"unbound pattern variable {var!r}")
+        if self.ref_vars is not None:
+            self.ref_vars.add(var)
 
     _CMP = {
         "=": lambda a, b: a == b, "<>": lambda a, b: a != b,
@@ -510,8 +515,17 @@ def cypher(graph: Graph, query: str) -> DataFrame:
             # columns already present
             saved_props = c.props
             c.props = {}
+            c.ref_vars = set()
             opred = c.where(p)
             opt_props, c.props = c.props, saved_props
+            oref, c.ref_vars = c.ref_vars, None
+            for v in sorted(oref):
+                if v not in odf.columns:
+                    raise ValueError(
+                        "OPTIONAL MATCH WHERE may only reference "
+                        f"variables bound in the optional pattern "
+                        f"(got {v})"
+                    )
             opt_prop_cols: list[tuple[str, str]] = []
             for v, ps in opt_props.items():
                 c.props.setdefault(v, set()).update(ps)
@@ -594,8 +608,9 @@ def cypher(graph: Graph, query: str) -> DataFrame:
             df = df.groupBy(
                 *[fac().alias(name) for fac, name in keys]
             ).agg(*agg_cols)
-            df = df.select(*[name for _, name in keys]
-                           + [name for _, name in aggs])
+            # preserve the RETURN item order (Cypher column order),
+            # not keys-then-aggs
+            df = df.select(*[name for _, _, name in items])
         else:
             df = df.agg(*agg_cols)
     else:

@@ -309,7 +309,11 @@ def semantic_dedup(
     cent, assign = ivf_assign(corpus, n_centroids, id_col, vec_col)
     # persist: the guard scan, the pair compare (both sides), and the
     # final decision join all read the assignment (same convention as
-    # the LSH bucket/shingle persists in functions/dedup.py)
+    # the LSH bucket/shingle persists in functions/dedup.py).  The
+    # cache is intentionally retained after return — the result is
+    # lazy and re-executes against it; long-lived sessions doing many
+    # dedup passes should spark.catalog.clearCache() between corpora
+    # (Spark also evicts LRU under storage pressure).
     assign = assign.persist()
     too_big = (
         assign.groupBy("cid").count()

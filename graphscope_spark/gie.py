@@ -314,6 +314,8 @@ class Traversal:
         ``repeat(out()).emit().times(k)`` — emit-after placement) the
         result is the bag union of every intermediate level 1..k, as
         one DataFrame union of the unrolled branches."""
+        if emit and times < 1:
+            raise ValueError("repeat(..., emit=True) needs times >= 1")
         t = self
         levels = []
         for _ in range(times):

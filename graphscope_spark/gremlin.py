@@ -101,7 +101,7 @@ def gremlin(graph: Graph, query: str):
     if not calls or calls[0][0] not in ("V", "E"):
         raise ValueError("traversal must start with g.V(...) or g.E()")
     g: GraphTraversalSource = traversal(graph)
-    wants_path = any(name == "path" for name, _ in calls)
+    wants_path = any(name in ("path", "simplePath") for name, _ in calls)
     src_name, src_args = calls[0]
     if src_name == "V":
         t: Traversal = g.V(*_args(src_args), track_path=wants_path)
@@ -130,6 +130,11 @@ def gremlin(graph: Graph, query: str):
             step = _RENAME.get(inner[0][0], inner[0][0])
             emit = False
             if i + 1 < len(calls) and calls[i + 1][0] == "emit":
+                if calls[i + 1][1]:
+                    raise ValueError(
+                        "emit() with a predicate argument is not "
+                        f"supported, got emit({calls[i + 1][1]})"
+                    )
                 emit = True
                 i += 1
             if i + 1 >= len(calls) or calls[i + 1][0] != "times":

@@ -632,7 +632,13 @@ def attribute_assortativity(graph: Graph, prop: str) -> float:
     exact integer scalar math with ONE final double division
     (``(tr·m − s)/(m² − s)``) so Spark and a SQL oracle agree
     bit-for-bit.  Returns ``nan`` when the graph has a single
-    attribute value (0/0, as NetworkX raises for)."""
+    attribute value (0/0, as NetworkX raises for).
+
+    Known divergence: in the undirected case self-loop edges are
+    excluded (``symmetrized_edges`` canonicalizes ``src != dst``)
+    while NetworkX counts them in the mixing matrix; directed graphs
+    keep self-loops, matching NetworkX.  Same caveat applies to
+    :func:`numeric_assortativity`."""
     e = (graph.edges if graph.directed
          else graph.symmetrized_edges()).select("src", "dst")
     att = graph.vertices.select("id", F.col(prop).alias("att"))

@@ -105,10 +105,17 @@ def main() -> None:
     if os.path.exists(emb_path):
         from graphscope_spark.functions.similarity import semantic_dedup
 
-        emb = spark.read.parquet(emb_path)
+        # cluster only the embeddings of SURVIVING docs — the stage
+        # contract is "each stage reads what the previous one kept";
+        # deduping the full table would also drop a doc whose only
+        # near-duplicate was already removed upstream.
         # 0.4 is the demonstration threshold for the near-orthogonal
         # synthetic embeddings (same as the registered semantic_dedup
         # query); real-corpus SemDeDup runs ~0.95 on trained encoders
+        emb = spark.read.parquet(emb_path).join(
+            docs.select(F.col("doc_id").alias("vec_id")),
+            "vec_id", "left_semi",
+        )
         sem_drop = semantic_dedup(
             emb, threshold=0.4, n_centroids=8
         ).where(~F.col("keep")).select(F.col("vec_id").alias("doc_id"))

@@ -294,3 +294,17 @@ def test_optional_where_shared_prop_with_mandatory_where(spark, g):
             want.append((a, c, None))
     key = lambda t: (t[0], t[1], (t[2] is not None, t[2]))
     assert sorted(got, key=key) == sorted(want, key=key)
+
+
+def test_return_order_preserved_agg_first(spark, g):
+    # review fix: RETURN count(*) AS n, a must keep (n, a) order
+    df = cypher(g, "MATCH (a)-->(b) RETURN count(*) AS n, a ORDER BY a")
+    assert df.columns == ["n", "a"]
+
+
+def test_optional_where_bare_foreign_var_rejected(spark, g):
+    # review fix: a bare mandatory-only variable in the optional WHERE
+    # raises the documented error, not a Spark AnalysisException
+    with pytest.raises(ValueError, match="OPTIONAL MATCH WHERE"):
+        cypher(g, "MATCH (a)-->(c) OPTIONAL MATCH (a)-->(b) "
+                  "WHERE b <> c RETURN a, b")

@@ -198,3 +198,23 @@ def test_gremlin_string_emit_and_simple_path(spark):
              gremlin(gr, "g.V(0).repeat(out()).times(3).simplePath().path()")
              .collect()}
     assert paths == {(0, 1, 2, 3)}
+
+
+def test_simple_path_string_without_path_step(spark):
+    from graphscope_spark.gremlin import gremlin
+
+    # simplePath() alone must enable path tracking (review fix)
+    t = gremlin(_g(spark), "g.V(0).repeat(out()).times(3).simplePath()")
+    assert sorted(t.toList()) == [3]
+    # emit with a predicate argument is rejected, not ignored
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="emit"):
+        gremlin(_g(spark), "g.V(0).repeat(out()).emit(has('x', 1)).times(2)")
+
+
+def test_repeat_emit_times_zero_rejected(spark):
+    import pytest as _pytest
+
+    g = traversal(_g(spark))
+    with _pytest.raises(ValueError, match="times"):
+        g.V(0).repeat("out", 0, emit=True)
