@@ -58,6 +58,15 @@ Supported subset::
                                          determinism); a mix of
                                          aggregates and keys does the
                                          implicit Cypher grouping
+    WITH a, count(b) AS n WHERE n > 2 MATCH (a)-->(c) ...
+                                         pipeline boundary: project /
+                                         aggregate (DISTINCT allowed),
+                                         optionally filter the result
+                                         (the HAVING analog), then the
+                                         item aliases become the WHOLE
+                                         variable scope for a further
+                                         MATCH (joined on shared
+                                         names) or the final RETURN
     ORDER BY n DESC, a ASC               over RETURN columns
     SKIP s LIMIT k
 
@@ -94,7 +103,7 @@ _TOKEN = re.compile(
 _KEYWORDS = {
     "MATCH", "WHERE", "RETURN", "DISTINCT", "AS", "ORDER", "BY",
     "ASC", "DESC", "LIMIT", "SKIP", "AND", "OR", "NOT", "COUNT", "ID",
-    "SUM", "MIN", "MAX", "AVG", "COLLECT", "OPTIONAL",
+    "SUM", "MIN", "MAX", "AVG", "COLLECT", "OPTIONAL", "WITH",
 }
 
 
@@ -467,29 +476,152 @@ def _fold(factories, op):
     return acc
 
 
+def _apply_props(df: DataFrame, c: _Compiler, graph: Graph) -> DataFrame:
+    """Join every vertex property recorded in ``c.props`` that is not
+    already a column (one pruned join per variable), then clear the
+    record — each WITH/RETURN boundary consumes its own scope."""
+    for var, props in c.props.items():
+        missing = [pr for pr in sorted(props)
+                   if f"{var}_{pr}" not in df.columns]
+        if not missing:
+            continue
+        sel = graph.vertices.select(
+            F.col("id").alias(var),
+            *[F.col(pr).alias(f"{var}_{pr}") for pr in missing],
+        )
+        df = df.join(sel, var, "left")
+    c.props = {}
+    return df
+
+
+def _project(df: DataFrame, items: list, distinct: bool) -> DataFrame:
+    """Apply a WITH/RETURN item list: plain projection, or implicit
+    Cypher grouping when aggregates are present; output columns keep
+    the written item order."""
+    keys = [(fac, name) for kind, fac, name in items if kind == "key"]
+    aggs = [(fac, name) for kind, fac, name in items if kind == "agg"]
+    if aggs:
+        agg_cols = [fac().alias(name) for fac, name in aggs]
+        if keys:
+            df = df.groupBy(
+                *[fac().alias(name) for fac, name in keys]
+            ).agg(*agg_cols)
+            df = df.select(*[name for _, _, name in items])
+        else:
+            df = df.agg(*agg_cols)
+    else:
+        df = df.select(*[fac().alias(name) for fac, name in keys])
+        if distinct:
+            df = df.distinct()
+    return df
+
+
 def cypher(graph: Graph, query: str) -> DataFrame:
     """Execute a Cypher statement STRING against a graph; returns the
     lazy result DataFrame (columns named per RETURN)."""
     p = _Parser(_tokenize(query))
     c = _Compiler(graph)
-    p.expect("kw", "MATCH")
-    df = c.pattern(p)
-    while p.accept("op", ","):
-        # conjunctive pattern: join on shared variables (Cypher's
-        # comma = same-clause pattern conjunction); disjoint patterns
-        # are rejected rather than silently cross-producted
-        other = c.pattern(p)
-        common = [col for col in df.columns if col in other.columns]
-        if not common:
-            raise ValueError(
-                "comma-separated MATCH patterns must share at least "
-                "one variable (a cartesian product at graph scale is "
-                "a bug, not a query)"
-            )
-        df = df.join(other, common)
+    df = None
     pred = None
-    if p.accept("kw", "WHERE"):
-        pred = c.where(p)
+    while True:
+        p.expect("kw", "MATCH")
+        seg = c.pattern(p)
+        while p.accept("op", ","):
+            # conjunctive pattern: join on shared variables (Cypher's
+            # comma = same-clause pattern conjunction); disjoint
+            # patterns are rejected rather than silently
+            # cross-producted
+            other = c.pattern(p)
+            common = [col for col in seg.columns if col in other.columns]
+            if not common:
+                raise ValueError(
+                    "comma-separated MATCH patterns must share at "
+                    "least one variable (a cartesian product at graph "
+                    "scale is a bug, not a query)"
+                )
+            seg = seg.join(other, common)
+        if df is None:
+            df = seg
+        else:
+            # MATCH after WITH: join the new pattern block onto the
+            # piped rows through their shared variables
+            common = [col for col in df.columns if col in seg.columns]
+            if not common:
+                raise ValueError(
+                    "MATCH after WITH must share at least one "
+                    "variable with the piped columns"
+                )
+            df = df.join(seg, common)
+        pred = None
+        if p.accept("kw", "WHERE"):
+            pred = c.where(p)
+        df, pred = _optional_blocks(c, p, graph, df, pred)
+        if p.accept("kw", "WITH"):
+            # WITH = intermediate projection/aggregation boundary:
+            # finalize the current segment (props + WHERE + project),
+            # then the item ALIASES become the entire variable scope
+            # for what follows (Cypher drops unlisted variables)
+            w_distinct = p.accept("kw", "DISTINCT")
+            items = c.return_items(p)
+            df = _apply_props(df, c, graph)
+            if pred is not None:
+                df = df.where(pred())
+                pred = None
+            df = _project(df, items, w_distinct)
+            c.node_vars = [name for _, _, name in items]
+            if p.accept("kw", "WHERE"):
+                # post-projection filter over the WITH aliases (the
+                # Cypher HAVING analog when aggregates are present)
+                wpred = c.where(p)
+                df = _apply_props(df, c, graph)
+                df = df.where(wpred())
+            if p.peek() == ("kw", "MATCH"):
+                continue
+        break
+    p.expect("kw", "RETURN")
+    distinct = p.accept("kw", "DISTINCT")
+    items = c.return_items(p)
+    order = []
+    if p.accept("kw", "ORDER"):
+        p.expect("kw", "BY")
+        while True:
+            col = p.expect("name")[1]
+            desc = False
+            if p.accept("kw", "DESC"):
+                desc = True
+            else:
+                p.accept("kw", "ASC")
+            order.append((col, desc))
+            if not p.accept("op", ","):
+                break
+    skip = None
+    if p.accept("kw", "SKIP"):
+        skip = int(ast.literal_eval(p.expect("num")[1]))
+    limit = None
+    if p.accept("kw", "LIMIT"):
+        limit = int(ast.literal_eval(p.expect("num")[1]))
+    if p.peek()[0] != "eof":
+        raise ValueError(f"trailing input near {p.peek()[1]!r}")
+
+    df = _apply_props(df, c, graph)
+    if pred is not None:
+        df = df.where(pred())
+    df = _project(df, items, distinct)
+    if order:
+        df = df.orderBy(*[
+            F.col(cn).desc() if d else F.col(cn).asc()
+            for cn, d in order
+        ])
+    if skip is not None:
+        df = df.offset(skip)
+    if limit is not None:
+        df = df.limit(limit)
+    return df
+
+
+def _optional_blocks(c: _Compiler, p: _Parser, graph: Graph,
+                     df: DataFrame, pred):
+    """Parse and apply any OPTIONAL MATCH clauses onto ``df``."""
     while p.accept("kw", "OPTIONAL"):
         # OPTIONAL MATCH = left-join extension: compile the optional
         # pattern (and its own WHERE) standalone, then left-join on
@@ -561,69 +693,4 @@ def cypher(graph: Graph, query: str) -> DataFrame:
                 "the preceding match"
             )
         df = df.join(odf, common, "left")
-    p.expect("kw", "RETURN")
-    distinct = p.accept("kw", "DISTINCT")
-    items = c.return_items(p)
-    order = []
-    if p.accept("kw", "ORDER"):
-        p.expect("kw", "BY")
-        while True:
-            col = p.expect("name")[1]
-            desc = False
-            if p.accept("kw", "DESC"):
-                desc = True
-            else:
-                p.accept("kw", "ASC")
-            order.append((col, desc))
-            if not p.accept("op", ","):
-                break
-    skip = None
-    if p.accept("kw", "SKIP"):
-        skip = int(ast.literal_eval(p.expect("num")[1]))
-    limit = None
-    if p.accept("kw", "LIMIT"):
-        limit = int(ast.literal_eval(p.expect("num")[1]))
-    if p.peek()[0] != "eof":
-        raise ValueError(f"trailing input near {p.peek()[1]!r}")
-
-    # join referenced vertex properties, one pruned join per variable
-    # (skipping any already joined into an OPTIONAL MATCH side)
-    for var, props in c.props.items():
-        missing = [pr for pr in sorted(props)
-                   if f"{var}_{pr}" not in df.columns]
-        if not missing:
-            continue
-        sel = graph.vertices.select(
-            F.col("id").alias(var),
-            *[F.col(pr).alias(f"{var}_{pr}") for pr in missing],
-        )
-        df = df.join(sel, var, "left")
-    if pred is not None:
-        df = df.where(pred())
-    keys = [(fac, name) for kind, fac, name in items if kind == "key"]
-    aggs = [(fac, name) for kind, fac, name in items if kind == "agg"]
-    if aggs:
-        agg_cols = [fac().alias(name) for fac, name in aggs]
-        if keys:
-            df = df.groupBy(
-                *[fac().alias(name) for fac, name in keys]
-            ).agg(*agg_cols)
-            # preserve the RETURN item order (Cypher column order),
-            # not keys-then-aggs
-            df = df.select(*[name for _, _, name in items])
-        else:
-            df = df.agg(*agg_cols)
-    else:
-        df = df.select(*[fac().alias(name) for fac, name in keys])
-        if distinct:
-            df = df.distinct()
-    if order:
-        df = df.orderBy(*[
-            F.col(cn).desc() if d else F.col(cn).asc()
-            for cn, d in order
-        ])
-    if skip is not None:
-        df = df.offset(skip)
-    if limit is not None:
-        df = df.limit(limit)
-    return df
+    return df, pred

@@ -293,6 +293,34 @@ def q_bfs(spark, sf_dir):
     return bfs(g, int(source), symmetrize=True).select("id", "depth")
 
 
+def q_cypher_with(spark, sf_dir):
+    """WITH pipeline through the driver protocol: aggregate out-degree
+    per part, filter (the HAVING analog), pipe the survivors into a
+    second MATCH over in-edges, and re-aggregate — two grouping
+    stages in ONE lazy plan (``graphscope_spark.cypher``)."""
+    from graphscope_spark.cypher import cypher
+
+    verts, dedges = part_edges(spark, sf_dir)
+    g = Graph.from_edges(dedges, directed=True, vertices=verts)
+    return cypher(
+        g,
+        "MATCH (a)-->(b) WITH a, count(b) AS n WHERE n >= 5 "
+        "MATCH (c)-->(a) RETURN a, n, count(c) AS m "
+        "ORDER BY m DESC, a ASC LIMIT 20",
+    )
+
+
+_CYPHER_WITH_SQL = (
+    "WITH " + _G + """,
+deg AS (SELECT src AS a, count(*) AS n FROM dedges
+        GROUP BY src HAVING count(*) >= 5)
+SELECT d.a, d.n, count(*) AS m
+FROM deg d JOIN dedges e ON e.dst = d.a
+GROUP BY d.a, d.n
+ORDER BY m DESC, a ASC LIMIT 20"""
+)
+
+
 def q_random_multi_bfs(spark, sf_dir):
     """FLASH random multi-source BFS (registry algo
     ``flash_random_multi_bfs``, ``random-multi-bfs.h:34``) on the
@@ -4382,7 +4410,7 @@ _REGISTRY_ORDER = [
     # .gs_conf.yaml registry algo with no analog) and edge_boundary
     "attr_assortativity", "numeric_assortativity", "edge_boundary",
     "gie_shortest_path", "cypher_topdeg", "cypher_varlen",
-    "cypher_optional",
+    "cypher_optional", "cypher_with",
     # new or operator-changed in round 4: full APSP (landmark
     # batches), property-graph projection, single-action-per-round
     # eigenvector/HITS, and the dedup family whose LSH banding gained
@@ -4413,7 +4441,7 @@ _REGISTRY_ORDER = [
     "bfs", "sssp", "sssp_path", "sssp_has_path",
     "betweenness_sample", "edge_betweenness_sample",
     "voterank", "fluid", "ppr",
-    "ann_ivf", "louvain", "modularity",
+    "ann_ivf", "louvain",
     # gremlin_2hop_bag re-enters because gie.py/gremlin.py gained the
     # shortestPath step this round (additive, but the window rule is
     # module-level); tri_count AND triangles rotate to the tail to
@@ -4433,7 +4461,7 @@ _REGISTRY_ORDER = [
     # cypher_varlen, cypher_optional, semantic_dedup, and
     # random_multi_bfs window entries
     "tri_count", "triangles", "skipgram_pairs", "node2vec_walks",
-    "tri_variants",
+    "tri_variants", "modularity",
     # ---- position 51+: stable driver-green entries, untouched this
     # round.  The late-r4 window additions (dfs, node2vec_walks,
     # skipgram_pairs, triangles, tri_count, cdlp, gremlin_2hop_bag)
@@ -4634,6 +4662,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "cypher_varlen": (q_cypher_varlen, _CYPHER_VARLEN_SQL),
         "cypher_optional": (q_cypher_optional, _CYPHER_OPTIONAL_SQL),
         "random_multi_bfs": (q_random_multi_bfs, _random_multi_bfs_sql()),
+        "cypher_with": (q_cypher_with, _CYPHER_WITH_SQL),
         "assortativity": (
             q_assortativity,
             "WITH " + _G + ",\n"

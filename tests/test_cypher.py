@@ -308,3 +308,57 @@ def test_optional_where_bare_foreign_var_rejected(spark, g):
     with pytest.raises(ValueError, match="OPTIONAL MATCH WHERE"):
         cypher(g, "MATCH (a)-->(c) OPTIONAL MATCH (a)-->(b) "
                   "WHERE b <> c RETURN a, b")
+
+
+# ------------------------------------------------------------- WITH
+
+def test_with_aggregate_then_filter(spark, g):
+    # the HAVING shape: out-degree > 1
+    q = ("MATCH (a)-->(b) WITH a, count(b) AS n WHERE n > 1 "
+         "RETURN a, n ORDER BY a")
+    from collections import Counter
+    deg = Counter(x for x, _ in EDGES)
+    want = sorted((a, n) for a, n in deg.items() if n > 1)
+    got = [(r["a"], r["n"]) for r in cypher(g, q).collect()]
+    assert got == want
+
+
+def test_with_pipe_into_second_match(spark, g):
+    # vertices with out-degree >= 2, then expand their in-neighbors
+    q = ("MATCH (a)-->(b) WITH a, count(b) AS n WHERE n >= 2 "
+         "MATCH (c)-->(a) RETURN a, c ORDER BY a, c")
+    from collections import Counter
+    deg = Counter(x for x, _ in EDGES)
+    hubs = {a for a, n in deg.items() if n >= 2}
+    want = sorted((a, c) for c, a in EDGES if a in hubs)
+    got = [(r["a"], r["c"]) for r in cypher(g, q).collect()]
+    assert got == want
+
+
+def test_with_scope_drops_unlisted_vars(spark, g):
+    # b is not carried through the WITH — referencing it later errors
+    with pytest.raises(ValueError, match="unbound"):
+        cypher(g, "MATCH (a)-->(b) WITH a RETURN a, b")
+
+
+def test_with_distinct_projection(spark, g):
+    q = ("MATCH (a)-->(b) WITH DISTINCT b MATCH (b)-->(c) "
+         "RETURN b, c ORDER BY b, c")
+    dsts = {b for _, b in EDGES}
+    want = sorted((b, c) for b, c in EDGES if b in dsts)
+    got = [(r["b"], r["c"]) for r in cypher(g, q).collect()]
+    assert got == want
+
+
+def test_with_property_projection_and_rename(spark, g):
+    q = ("MATCH (a)-->(b) WITH a.cat AS k, b WHERE k = 'a' "
+         "RETURN k, count(b) AS n")
+    cat = {i: c for i, c, _ in VERTS}
+    n = sum(1 for a, _ in EDGES if cat[a] == "a")
+    rows = cypher(g, q).collect()
+    assert [(r["k"], r["n"]) for r in rows] == [("a", n)]
+
+
+def test_with_requires_shared_var_for_next_match(spark, g):
+    with pytest.raises(ValueError, match="share"):
+        cypher(g, "MATCH (a)-->(b) WITH a MATCH (x)-->(y) RETURN a, x")
