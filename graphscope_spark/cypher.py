@@ -67,6 +67,12 @@ Supported subset::
                                          variable scope for a further
                                          MATCH (joined on shared
                                          names) or the final RETURN
+    UNWIND [1, 2, 3] AS x                one row per list element —
+                                         a literal list (parameter
+                                         seeding for a following
+                                         MATCH) or a variable /
+                                         WITH-collect alias holding
+                                         an array
     ORDER BY n DESC, a ASC               over RETURN columns
     SKIP s LIMIT k
 
@@ -104,6 +110,7 @@ _KEYWORDS = {
     "MATCH", "WHERE", "RETURN", "DISTINCT", "AS", "ORDER", "BY",
     "ASC", "DESC", "LIMIT", "SKIP", "AND", "OR", "NOT", "COUNT", "ID",
     "SUM", "MIN", "MAX", "AVG", "COLLECT", "OPTIONAL", "WITH",
+    "UNWIND",
 }
 
 
@@ -524,43 +531,92 @@ def cypher(graph: Graph, query: str) -> DataFrame:
     df = None
     pred = None
     while True:
-        p.expect("kw", "MATCH")
-        seg = c.pattern(p)
-        while p.accept("op", ","):
-            # conjunctive pattern: join on shared variables (Cypher's
-            # comma = same-clause pattern conjunction); disjoint
-            # patterns are rejected rather than silently
-            # cross-producted
-            other = c.pattern(p)
-            common = [col for col in seg.columns if col in other.columns]
-            if not common:
-                raise ValueError(
-                    "comma-separated MATCH patterns must share at "
-                    "least one variable (a cartesian product at graph "
-                    "scale is a bug, not a query)"
-                )
-            seg = seg.join(other, common)
-        if df is None:
-            df = seg
-        else:
-            # MATCH after WITH: join the new pattern block onto the
-            # piped rows through their shared variables
-            common = [col for col in df.columns if col in seg.columns]
-            if not common:
-                raise ValueError(
-                    "MATCH after WITH must share at least one "
-                    "variable with the piped columns"
-                )
-            df = df.join(seg, common)
-        pred = None
-        if p.accept("kw", "WHERE"):
-            pred = c.where(p)
-        df, pred = _optional_blocks(c, p, graph, df, pred)
-        if p.accept("kw", "WITH"):
+        t = p.peek()
+        if t == ("kw", "MATCH"):
+            p.next()
+            seg = c.pattern(p)
+            while p.accept("op", ","):
+                # conjunctive pattern: join on shared variables
+                # (Cypher's comma = same-clause pattern conjunction);
+                # disjoint patterns are rejected rather than silently
+                # cross-producted
+                other = c.pattern(p)
+                common = [col for col in seg.columns
+                          if col in other.columns]
+                if not common:
+                    raise ValueError(
+                        "comma-separated MATCH patterns must share at "
+                        "least one variable (a cartesian product at "
+                        "graph scale is a bug, not a query)"
+                    )
+                seg = seg.join(other, common)
+            if df is None:
+                df = seg
+            else:
+                # MATCH after WITH/UNWIND/MATCH: join the new pattern
+                # block onto the piped rows through shared variables
+                common = [col for col in df.columns
+                          if col in seg.columns]
+                if not common:
+                    raise ValueError(
+                        "a further MATCH must share at least one "
+                        "variable with the piped columns"
+                    )
+                df = df.join(seg, common)
+            if p.accept("kw", "WHERE"):
+                newpred = c.where(p)
+                if pred is None:
+                    pred = newpred
+                else:
+                    prev = pred
+                    pred = lambda prev=prev, newpred=newpred: (
+                        prev() & newpred()
+                    )
+            df, pred = _optional_blocks(c, p, graph, df, pred)
+        elif t == ("kw", "UNWIND"):
+            # UNWIND <list> AS x — one row per element: a literal
+            # list, or a variable/property holding an array (e.g. a
+            # WITH collect() alias); the MATCH WHERE (if any) filters
+            # BEFORE the explode, per Cypher clause order
+            p.next()
+            if p.peek() == ("op", "["):
+                p.next()
+                vals = []
+                if p.peek() != ("op", "]"):
+                    while True:
+                        lt = p.next()
+                        if lt[0] not in ("num", "str"):
+                            raise ValueError(
+                                "UNWIND list literals may hold only "
+                                f"number/string literals, got {lt[1]!r}"
+                            )
+                        vals.append(ast.literal_eval(lt[1]))
+                        if not p.accept("op", ","):
+                            break
+                p.expect("op", "]")
+                fac = (lambda vals=vals:
+                       F.array(*[F.lit(v) for v in vals]))
+            else:
+                fac, _ = c._operand(p)
+            p.expect("kw", "AS")
+            name = p.expect("name")[1]
+            if df is None:
+                df = graph.vertices.sparkSession.range(1).select()
+            df = _apply_props(df, c, graph)
+            if pred is not None:
+                df = df.where(pred())
+                pred = None
+            df = df.withColumn(name, F.explode(fac()))
+            if name not in c.node_vars:
+                c.node_vars.append(name)
+        elif t == ("kw", "WITH"):
             # WITH = intermediate projection/aggregation boundary:
             # finalize the current segment (props + WHERE + project),
             # then the item ALIASES become the entire variable scope
             # for what follows (Cypher drops unlisted variables)
+            p.next()
+            if df is None:
+                raise ValueError("WITH needs a preceding MATCH/UNWIND")
             w_distinct = p.accept("kw", "DISTINCT")
             items = c.return_items(p)
             df = _apply_props(df, c, graph)
@@ -575,9 +631,14 @@ def cypher(graph: Graph, query: str) -> DataFrame:
                 wpred = c.where(p)
                 df = _apply_props(df, c, graph)
                 df = df.where(wpred())
-            if p.peek() == ("kw", "MATCH"):
-                continue
-        break
+        elif t == ("kw", "RETURN"):
+            break
+        else:
+            raise ValueError(
+                f"expected MATCH, UNWIND, WITH or RETURN, got {t[1]!r}"
+            )
+        if df is None:
+            raise ValueError("statement produced no rows source")
     p.expect("kw", "RETURN")
     distinct = p.accept("kw", "DISTINCT")
     items = c.return_items(p)

@@ -362,3 +362,35 @@ def test_with_property_projection_and_rename(spark, g):
 def test_with_requires_shared_var_for_next_match(spark, g):
     with pytest.raises(ValueError, match="share"):
         cypher(g, "MATCH (a)-->(b) WITH a MATCH (x)-->(y) RETURN a, x")
+
+
+# ----------------------------------------------------------- UNWIND
+
+def test_unwind_literal_list(spark, g):
+    q = "UNWIND [3, 1, 2] AS x RETURN x ORDER BY x"
+    assert [r["x"] for r in cypher(g, q).collect()] == [1, 2, 3]
+
+
+def test_unwind_seeds_a_match(spark, g):
+    # parameter seeding: expand only from the listed vertices
+    q = "UNWIND [0, 5] AS a MATCH (a)-->(b) RETURN a, b ORDER BY a, b"
+    want = sorted((a, b) for a, b in EDGES if a in (0, 5))
+    got = [(r["a"], r["b"]) for r in cypher(g, q).collect()]
+    assert got == want
+
+
+def test_unwind_collect_roundtrip(spark, g):
+    q = ("MATCH (a)-->(b) WITH a, collect(b) AS ns "
+         "UNWIND ns AS x RETURN a, x ORDER BY a, x")
+    got = [(r["a"], r["x"]) for r in cypher(g, q).collect()]
+    assert got == sorted(EDGES)
+
+
+def test_consecutive_match_clauses(spark, g):
+    # Cypher allows MATCH ... MATCH ... without WITH; the second
+    # clause joins on shared variables
+    q = "MATCH (a)-->(b) MATCH (b)-->(c) RETURN a, b, c"
+    got = rows(cypher(g, q), "a", "b", "c")
+    want = sorted((a, b, c) for a, b in EDGES
+                  for b2, c in EDGES if b == b2)
+    assert got == want
