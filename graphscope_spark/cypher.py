@@ -572,7 +572,7 @@ def cypher(graph: Graph, query: str) -> DataFrame:
                     pred = lambda prev=prev, newpred=newpred: (
                         prev() & newpred()
                     )
-            df, pred = _optional_blocks(c, p, graph, df, pred)
+            df = _optional_blocks(c, p, graph, df)
         elif t == ("kw", "UNWIND"):
             # UNWIND <list> AS x — one row per element: a literal
             # list, or a variable/property holding an array (e.g. a
@@ -606,6 +606,11 @@ def cypher(graph: Graph, query: str) -> DataFrame:
             if pred is not None:
                 df = df.where(pred())
                 pred = None
+            if name in df.columns:
+                raise ValueError(
+                    f"UNWIND alias {name!r} is already bound; pick a "
+                    "fresh variable name"
+                )
             df = df.withColumn(name, F.explode(fac()))
             if name not in c.node_vars:
                 c.node_vars.append(name)
@@ -631,14 +636,20 @@ def cypher(graph: Graph, query: str) -> DataFrame:
                 wpred = c.where(p)
                 df = _apply_props(df, c, graph)
                 df = df.where(wpred())
+                # the filter may have joined property columns in;
+                # re-project so the WITH aliases stay the ENTIRE
+                # downstream scope
+                df = df.select(*[name for _, _, name in items])
         elif t == ("kw", "RETURN"):
+            if df is None:
+                raise ValueError(
+                    "RETURN needs a preceding MATCH/UNWIND row source"
+                )
             break
         else:
             raise ValueError(
                 f"expected MATCH, UNWIND, WITH or RETURN, got {t[1]!r}"
             )
-        if df is None:
-            raise ValueError("statement produced no rows source")
     p.expect("kw", "RETURN")
     distinct = p.accept("kw", "DISTINCT")
     items = c.return_items(p)
@@ -681,7 +692,7 @@ def cypher(graph: Graph, query: str) -> DataFrame:
 
 
 def _optional_blocks(c: _Compiler, p: _Parser, graph: Graph,
-                     df: DataFrame, pred):
+                     df: DataFrame) -> DataFrame:
     """Parse and apply any OPTIONAL MATCH clauses onto ``df``."""
     while p.accept("kw", "OPTIONAL"):
         # OPTIONAL MATCH = left-join extension: compile the optional
@@ -754,4 +765,4 @@ def _optional_blocks(c: _Compiler, p: _Parser, graph: Graph,
                 "the preceding match"
             )
         df = df.join(odf, common, "left")
-    return df, pred
+    return df

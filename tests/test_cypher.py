@@ -394,3 +394,28 @@ def test_consecutive_match_clauses(spark, g):
     want = sorted((a, b, c) for a, b in EDGES
                   for b2, c in EDGES if b == b2)
     assert got == want
+
+
+def test_unwind_alias_collision_rejected(spark, g):
+    with pytest.raises(ValueError, match="already bound"):
+        cypher(g, "MATCH (a)-->(b) UNWIND [99] AS a RETURN a, b")
+
+
+def test_return_without_row_source_rejected(spark, g):
+    with pytest.raises(ValueError, match="row source"):
+        cypher(g, "RETURN 1")
+
+
+def test_with_where_does_not_leak_prop_columns(spark, g):
+    # the filter prop column must not survive the WITH scope boundary
+    q = ("MATCH (a)-->(b) WITH a WHERE a.cat = 'a' "
+         "MATCH (a)-->(c) RETURN a, c ORDER BY a, c")
+    df = cypher(g, q)
+    assert df.columns == ["a", "c"]
+    cat = {i: c for i, c, _ in VERTS}
+    want = sorted((a, c) for a, _ in EDGES for a2, c in EDGES
+                  if a == a2 and cat[a] == "a")
+    # WITH a (no DISTINCT) keeps bag cardinality: one pipe row per
+    # out-edge, each re-expanded
+    got = [(r["a"], r["c"]) for r in cypher(g, q).collect()]
+    assert got == want
