@@ -73,6 +73,26 @@ Supported subset::
                                          MATCH) or a variable /
                                          WITH-collect alias holding
                                          an array
+    MATCH p = shortestPath((a {id: 5})-[*..10]->(b))
+                                         shortest-path pattern
+                                         function (GIE PathExpand
+                                         ANY_SHORTEST): the left
+                                         endpoint pinned to one
+                                         vertex by its inline
+                                         constraints, a finite hop
+                                         bound required, direction
+                                         ``->`` or undirected ``-``;
+                                         binds a, b and the path
+                                         variable, read through
+                                         ``length(p)`` (hop count)
+                                         and ``nodes(p)`` (vertex-id
+                                         array); zero-length
+                                         self-paths excluded.
+                                         ``allShortestPaths(...)``
+                                         (ALL_SHORTEST) additionally
+                                         pins the right endpoint and
+                                         enumerates every shortest
+                                         path between the pair
     ORDER BY n DESC, a ASC               over RETURN columns
     SKIP s LIMIT k
 
@@ -167,6 +187,7 @@ class _Compiler:
     def __init__(self, graph: Graph):
         self.g = graph
         self.node_vars: list[str] = []
+        self.path_vars: list[str] = []  # shortestPath pattern vars
         self.props: dict[str, set] = {}  # var -> referenced props
         #: when not None, _check_var logs every referenced variable
         #: here (used to validate OPTIONAL MATCH WHERE scoping)
@@ -191,7 +212,14 @@ class _Compiler:
             label = p.expect("name")[1]
         if p.accept("op", "{"):
             while True:
-                prop = p.expect("name")[1]
+                # `id` lexes as the ID keyword (for id(var)) but is
+                # also the natural property-map key for pinning a
+                # vertex: {id: 5}
+                if p.peek() == ("kw", "ID"):
+                    p.next()
+                    prop = "id"
+                else:
+                    prop = p.expect("name")[1]
                 p.expect("op", ":")
                 t = p.next()
                 if t[0] not in ("num", "str"):
@@ -366,6 +394,133 @@ class _Compiler:
             var = nvar
         return df
 
+    def _pin_vertex(self, role: str, var: str, label: str | None,
+                    filters: list) -> int:
+        """Resolve a pattern node that must bind exactly ONE vertex
+        (the shortestPath endpoints) to its id via the inline label /
+        property-map constraints."""
+        if not label and not filters:
+            raise ValueError(
+                f"shortestPath {role} endpoint ({var}) must be pinned "
+                "to one vertex with an inline property map, e.g. "
+                "({id: 5})"
+            )
+        df = self.g.vertices.select("id")
+        if label:
+            if "label" not in self.g.vertices.columns:
+                raise ValueError(
+                    f"pattern uses :{label} but the graph's vertex "
+                    "table has no 'label' column"
+                )
+            df = self.g.vertices.where(
+                F.col("label") == F.lit(label)
+            ).select("id")
+        for prop, val in filters:
+            if prop == "id":
+                df = df.where(F.col("id") == F.lit(val))
+                continue
+            if prop not in self.g.vertices.columns:
+                raise ValueError(
+                    f"pattern filters on {{{prop}: ...}} but the "
+                    "vertex table has no such column"
+                )
+            keep = self.g.vertices.where(
+                F.col(prop) == F.lit(val)
+            ).select("id")
+            df = df.join(keep, "id", "left_semi")
+        rows = df.limit(2).collect()
+        if len(rows) != 1:
+            raise ValueError(
+                f"shortestPath {role} endpoint ({var}) must pin "
+                f"exactly one vertex; the constraints matched "
+                f"{'none' if not rows else 'more than one'}"
+            )
+        return int(rows[0]["id"])
+
+    def shortest_pattern(self, p: _Parser, pvar: str,
+                         all_shortest: bool) -> DataFrame:
+        """``p = shortestPath((a {..})-[*..h]->(b))`` /
+        ``allShortestPaths(...)`` — the Cypher shortest-path pattern
+        functions (reference grammar ``CypherGS.g4``; GIE PathExpand
+        ANY_SHORTEST / ALL_SHORTEST, ``physical.proto:213-260``),
+        delegating to the traversal-surface ``shortestPath()`` step
+        (BFS frontier + deterministic min-pred reconstruction).
+
+        Subset rules: the left endpoint must be pinned to one vertex
+        by its inline constraints; ``allShortestPaths`` additionally
+        pins the right endpoint; the relationship needs a finite
+        upper bound ``*..h`` (lower bound fixed at 1 — zero-length
+        self-paths are excluded, openCypher's default); directions
+        ``->`` (out) and ``-`` (both); edge labels and ``<-`` are
+        rejected (rewrite ``(a)<-[*..h]-(b)`` as
+        ``(b)-[*..h]->(a)``)."""
+        from .gie import traversal
+
+        if pvar in self.node_vars or pvar in self.path_vars:
+            raise ValueError(f"path variable {pvar!r} is already bound")
+        p.expect("op", "(")
+        a_var, a_label, a_filters = self._node(p)
+        direction, elabel, varlen = self._edge(p)
+        b_var, b_label, b_filters = self._node(p)
+        p.expect("op", ")")
+        if direction == "in":
+            raise ValueError(
+                "shortestPath does not take <- in this subset; "
+                f"rewrite as ({b_var})-[..]->({a_var})"
+            )
+        if elabel is not None:
+            raise ValueError(
+                "edge labels inside shortestPath are not supported "
+                "in this subset"
+            )
+        if varlen is None:
+            raise ValueError(
+                "shortestPath needs a finite hop bound, e.g. "
+                "-[*..10]->  (an unbounded search at graph scale is "
+                "a bug, not a query)"
+            )
+        lo, hi = varlen
+        if lo != 1:
+            raise ValueError(
+                "shortestPath supports only lower bound 1 "
+                "(*..h or *1..h)"
+            )
+        if a_var in self.node_vars or b_var in self.node_vars:
+            raise ValueError(
+                "shortestPath endpoints must be fresh variables in "
+                "this subset"
+            )
+        src = self._pin_vertex("left", a_var, a_label, a_filters)
+        symmetrize = direction == "both"
+        trav = traversal(self.g).V(src)
+        hops_col, path_col = f"{pvar}_hops", f"{pvar}_path"
+        if all_shortest:
+            tgt = self._pin_vertex("right", b_var, b_label, b_filters)
+            out = trav.shortestPath(
+                target=tgt, max_hops=hi, all_shortest=True,
+                symmetrize=symmetrize,
+            ).select(
+                F.lit(src).cast("long").alias(a_var),
+                F.lit(tgt).cast("long").alias(b_var),
+                F.col("hops").alias(hops_col),
+                F.col("path").alias(path_col),
+            ).where(F.col(hops_col) >= 1)
+        else:
+            out = trav.shortestPath(
+                max_hops=hi, symmetrize=symmetrize,
+            ).select(
+                F.lit(src).cast("long").alias(a_var),
+                F.col("id").alias(b_var),
+                F.col("hops").alias(hops_col),
+                F.col("path").alias(path_col),
+            ).where(F.col(hops_col) >= 1)
+            if b_label:
+                out = self._apply_vlabel(out, b_var, b_label)
+            out = self._apply_vfilters(out, b_var, b_filters)
+        self.node_vars.extend([a_var, b_var])
+        self.path_vars.append(pvar)
+        return out
+
     # ------------------------------------------------- expressions
     def _operand(self, p: _Parser):
         """Returns (Column-factory, default name).  The factory is
@@ -384,6 +539,26 @@ class _Compiler:
             return (lambda: F.col(var)), var
         if t[0] == "name":
             var = p.next()[1]
+            if (var.lower() in ("length", "nodes")
+                    and p.peek() == ("op", "(")):
+                # path functions over shortestPath pattern variables:
+                # length(p) = hop count, nodes(p) = the vertex-id array
+                p.next()
+                inner = p.expect("name")[1]
+                p.expect("op", ")")
+                if inner not in self.path_vars:
+                    raise ValueError(
+                        f"{var}() takes a shortestPath pattern "
+                        f"variable; {inner!r} is not one"
+                    )
+                suffix = "hops" if var.lower() == "length" else "path"
+                col = f"{inner}_{suffix}"
+                return (lambda col=col: F.col(col)), col
+            if var in self.path_vars:
+                raise ValueError(
+                    f"path variable {var!r} can only be used through "
+                    "length() / nodes()"
+                )
             self._check_var(var)
             if p.accept("op", "."):
                 prop = p.expect("name")[1]
@@ -469,7 +644,13 @@ class _Compiler:
                 fac, name = self._operand(p)
                 kind = "key"
             if p.accept("kw", "AS"):
-                name = p.expect("name")[1]
+                # `id` lexes as the ID keyword but is a legitimate —
+                # and common — output alias
+                if p.peek() == ("kw", "ID"):
+                    p.next()
+                    name = "id"
+                else:
+                    name = p.expect("name")[1]
             items.append((kind, fac, name))
             if not p.accept("op", ","):
                 break
@@ -534,7 +715,19 @@ def cypher(graph: Graph, query: str) -> DataFrame:
         t = p.peek()
         if t == ("kw", "MATCH"):
             p.next()
-            seg = c.pattern(p)
+            if (p.peek(0)[0] == "name" and p.peek(1) == ("op", "=")
+                    and p.peek(2)[0] == "name"
+                    and p.peek(2)[1].lower() in ("shortestpath",
+                                                 "allshortestpaths")
+                    and p.peek(3) == ("op", "(")):
+                pvar = p.next()[1]
+                p.next()  # =
+                fn = p.next()[1].lower()
+                seg = c.shortest_pattern(
+                    p, pvar, all_shortest=(fn == "allshortestpaths")
+                )
+            else:
+                seg = c.pattern(p)
             while p.accept("op", ","):
                 # conjunctive pattern: join on shared variables
                 # (Cypher's comma = same-clause pattern conjunction);
@@ -657,7 +850,11 @@ def cypher(graph: Graph, query: str) -> DataFrame:
     if p.accept("kw", "ORDER"):
         p.expect("kw", "BY")
         while True:
-            col = p.expect("name")[1]
+            if p.peek() == ("kw", "ID"):
+                p.next()
+                col = "id"
+            else:
+                col = p.expect("name")[1]
             desc = False
             if p.accept("kw", "DESC"):
                 desc = True

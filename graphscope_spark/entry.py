@@ -1840,6 +1840,42 @@ def _gie_shortest_path_sql(rounds: int = 6) -> str:
     )
 
 
+def q_cypher_shortest(spark, sf_dir):
+    """The Cypher ``shortestPath()`` pattern function (reference
+    grammar ``CypherGS.g4``; GIE PathExpand ANY_SHORTEST,
+    ``physical.proto:213-260``) through the driver protocol: one
+    deterministic (min-pred) shortest path per vertex reached within
+    6 undirected hops of the min-id part on the co-order graph —
+    compiled by :func:`graphscope_spark.cypher.cypher` onto the same
+    BFS-frontier machinery as ``q_gie_shortest_path``.  openCypher
+    excludes the zero-length self-path, so the oracle filters
+    ``hops >= 1``."""
+    from graphscope_spark.cypher import cypher
+
+    g = part_graph(spark, sf_dir)
+    s = int(g.vertices.agg(F.min("id")).collect()[0][0])
+    df = cypher(
+        g,
+        f"MATCH p = shortestPath((a {{id: {s}}})-[*..6]-(b)) "
+        "RETURN b AS id, length(p) AS hops, nodes(p) AS path",
+    )
+    return df.select(
+        "id", "hops",
+        F.concat_ws("-", F.col("path").cast("array<string>"))
+        .alias("path"),
+    )
+
+
+def _cypher_shortest_sql() -> str:
+    # same BFS + min-pred reconstruction as the GIE twin, minus the
+    # hops=0 source row (openCypher shortestPath semantics)
+    return (
+        "SELECT id, hops, path FROM ("
+        + _gie_shortest_path_sql(6)
+        + ") WHERE hops >= 1"
+    )
+
+
 def q_cypher_topdeg(spark, sf_dir):
     """The Cypher STRING front-end through the driver protocol
     (reference grammar ``CypherGS.g4``): top-20 parts by out-degree
@@ -4410,7 +4446,7 @@ _REGISTRY_ORDER = [
     # .gs_conf.yaml registry algo with no analog) and edge_boundary
     "attr_assortativity", "numeric_assortativity", "edge_boundary",
     "gie_shortest_path", "cypher_topdeg", "cypher_varlen",
-    "cypher_optional", "cypher_with",
+    "cypher_optional", "cypher_with", "cypher_shortest",
     # new or operator-changed in round 4: full APSP (landmark
     # batches), property-graph projection, single-action-per-round
     # eigenvector/HITS, and the dedup family whose LSH banding gained
@@ -4663,6 +4699,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "cypher_optional": (q_cypher_optional, _CYPHER_OPTIONAL_SQL),
         "random_multi_bfs": (q_random_multi_bfs, _random_multi_bfs_sql()),
         "cypher_with": (q_cypher_with, _CYPHER_WITH_SQL),
+        "cypher_shortest": (q_cypher_shortest, _cypher_shortest_sql()),
         "assortativity": (
             q_assortativity,
             "WITH " + _G + ",\n"

@@ -419,3 +419,96 @@ def test_with_where_does_not_leak_prop_columns(spark, g):
     # out-edge, each re-expanded
     got = [(r["a"], r["c"]) for r in cypher(g, q).collect()]
     assert got == want
+
+
+# ---------------------------------------------- shortestPath patterns
+
+def _bfs_depths(undirected: bool):
+    """Driver-side BFS over the module's EDGES literal."""
+    adj: dict[int, list[int]] = {}
+    for a, b in EDGES:
+        adj.setdefault(a, []).append(b)
+        if undirected:
+            adj.setdefault(b, []).append(a)
+    depth = {0: 0}
+    frontier = [0]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, []):
+                if v not in depth:
+                    depth[v] = depth[u] + 1
+                    nxt.append(v)
+        frontier = nxt
+    return depth
+
+
+def test_shortest_path_directed(spark, g):
+    q = ("MATCH p = shortestPath((a {id: 0})-[*..6]->(b)) "
+         "RETURN b, length(p) AS hops ORDER BY b")
+    got = [(r["b"], r["hops"]) for r in cypher(g, q).collect()]
+    want = sorted((v, d) for v, d in _bfs_depths(False).items() if d >= 1)
+    assert got == want
+
+
+def test_shortest_path_undirected_nodes_fn(spark, g):
+    q = ("MATCH p = shortestPath((a {id: 0})-[*..6]-(b)) "
+         "RETURN b, length(p) AS hops, nodes(p) AS path ORDER BY b")
+    out = cypher(g, q).collect()
+    depths = _bfs_depths(True)
+    assert [(r["b"], r["hops"]) for r in out] == sorted(
+        (v, d) for v, d in depths.items() if d >= 1)
+    for r in out:  # each path is a real walk of the right length
+        assert r["path"][0] == 0 and r["path"][-1] == r["b"]
+        assert len(r["path"]) == r["hops"] + 1
+
+
+def test_shortest_path_where_and_agg(spark, g):
+    q = ("MATCH p = shortestPath((a {id: 0})-[*..6]->(b)) "
+         "WHERE b <> 3 RETURN max(length(p)) AS ecc")
+    [row] = cypher(g, q).collect()
+    want = max(d for v, d in _bfs_depths(False).items()
+               if d >= 1 and v != 3)
+    assert row["ecc"] == want
+
+
+def test_all_shortest_paths(spark, g):
+    q = ("MATCH p = allShortestPaths((a {id: 0})-[*..6]->(b {id: 4})) "
+         "RETURN nodes(p) AS path, length(p) AS hops")
+    got = sorted((tuple(r["path"]), r["hops"])
+                 for r in cypher(g, q).collect())
+    # the two distinct shortest 0->4 walks in EDGES
+    assert got == [((0, 1, 3, 4), 3), ((0, 2, 3, 4), 3)]
+
+
+def test_shortest_path_fluent_twin(spark, g):
+    from graphscope_spark.gie import traversal
+    q = ("MATCH p = shortestPath((a {id: 0})-[*..6]->(b)) "
+         "RETURN b, length(p) AS hops ORDER BY b")
+    got = [(r["b"], r["hops"]) for r in cypher(g, q).collect()]
+    twin = traversal(g).V(0).shortestPath(max_hops=6, symmetrize=False)
+    want = sorted((r["id"], r["hops"]) for r in twin.collect()
+                  if r["hops"] >= 1)
+    assert got == want
+
+
+def test_shortest_path_rejections(spark, g):
+    cases = [
+        ("MATCH p = shortestPath((a)-[*..6]->(b)) RETURN b",
+         "must be pinned"),
+        ("MATCH p = shortestPath((a {id: 0})-->(b)) RETURN b",
+         "finite hop bound"),
+        ("MATCH p = shortestPath((a {id: 0})<-[*..4]-(b)) RETURN b",
+         "rewrite"),
+        ("MATCH p = allShortestPaths((a {id: 0})-[*..4]->(b)) RETURN b",
+         "right endpoint"),
+        ("MATCH p = shortestPath((a {id: 0})-[*2..4]->(b)) RETURN b",
+         "lower bound 1"),
+        ("MATCH p = shortestPath((a {id: 0})-[*..4]->(b)) RETURN p",
+         "length\\(\\) / nodes\\(\\)"),
+        ("MATCH p = shortestPath((a {id: 0})-[*..4]->(b)) "
+         "RETURN length(b)", "not one"),
+    ]
+    for q, pat in cases:
+        with pytest.raises(ValueError, match=pat):
+            cypher(g, q)
