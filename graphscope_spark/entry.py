@@ -463,6 +463,61 @@ def q_dedup_exact(spark, sf_dir):
     return exact_dedup_groups(load(spark, sf_dir, "documents"))
 
 
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style duplicated-line removal
+    (``functions/dedup.remove_duplicated_lines``): the synthetic
+    documents are single-line, so the query first derives a
+    deterministic multi-line corpus — a per-source header (shared by
+    every doc of that source → boilerplate, removed), a short ``----``
+    separator (shared but under ``min_chars`` → kept, proving the
+    guard), the original text, and a per-doc unique footer (kept) —
+    then strips every line of ≥10 trimmed chars appearing in ≥2
+    distinct docs and reassembles in order."""
+    from graphscope_spark.functions.dedup import remove_duplicated_lines
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("== source: "), F.col("source"),
+                     F.lit(" ==")),
+            F.lit("----"),
+            F.col("text"),
+            F.concat(F.lit("doc "), F.col("doc_id").cast("string"),
+                     F.lit(" len "), F.col("n_chars").cast("string")),
+        ).alias("text"),
+    )
+    return remove_duplicated_lines(corpus, min_docs=2, min_chars=10)
+
+
+_LINE_DEDUP_SQL = """
+WITH corpus AS (
+  SELECT doc_id,
+         '== source: ' || source || ' ==' || chr(10) ||
+         '----' || chr(10) ||
+         text || chr(10) ||
+         'doc ' || doc_id || ' len ' || n_chars AS text
+  FROM documents),
+lines AS (
+  SELECT doc_id, i AS pos, ln[i+1] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ln FROM corpus),
+       unnest(range(length(ln))) AS u(i)),
+dup AS (
+  SELECT line FROM lines WHERE length(trim(line)) >= 10
+  GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+marked AS (
+  SELECT l.doc_id, l.pos, l.line, d.line IS NOT NULL AS isdup
+  FROM lines l LEFT JOIN dup d ON d.line = l.line)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT isdup THEN line END,
+                           chr(10) ORDER BY pos), '') AS text,
+       CAST(sum(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed
+FROM marked GROUP BY doc_id
+"""
+
+
 def q_text_stats(spark, sf_dir):
     from graphscope_spark.functions.text import text_stats
 
@@ -4446,7 +4501,7 @@ _REGISTRY_ORDER = [
     # .gs_conf.yaml registry algo with no analog) and edge_boundary
     "attr_assortativity", "numeric_assortativity", "edge_boundary",
     "gie_shortest_path", "cypher_topdeg", "cypher_varlen",
-    "cypher_optional", "cypher_with", "cypher_shortest",
+    "cypher_optional", "cypher_with", "cypher_shortest", "line_dedup",
     # new or operator-changed in round 4: full APSP (landmark
     # batches), property-graph projection, single-action-per-round
     # eigenvector/HITS, and the dedup family whose LSH banding gained
@@ -4700,6 +4755,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "random_multi_bfs": (q_random_multi_bfs, _random_multi_bfs_sql()),
         "cypher_with": (q_cypher_with, _CYPHER_WITH_SQL),
         "cypher_shortest": (q_cypher_shortest, _cypher_shortest_sql()),
+        "line_dedup": (q_line_dedup, _LINE_DEDUP_SQL),
         "assortativity": (
             q_assortativity,
             "WITH " + _G + ",\n"

@@ -58,6 +58,69 @@ def exact_dedup_groups(
     )
 
 
+# ------------------------------------------------------------- lines
+def remove_duplicated_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    min_chars: int = 10,
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style duplicated-line removal: drop EVERY occurrence of
+    any line that (a) is at least ``min_chars`` characters after
+    trimming and (b) appears in at least ``min_docs`` DISTINCT
+    documents, then reassemble each document in original line order.
+    Returns ``(id_col, text_col, n_removed)`` — one row per input
+    document, empty text when every line was boilerplate.
+
+    This is the standard web-corpus curation pass that strips shared
+    boilerplate (navigation bars, license headers, cookie banners)
+    the document-level dedup family above cannot touch: the documents
+    differ, the lines repeat.  Short lines are exempt so structural
+    tokens (blank lines, braces, separators) survive.  A line
+    repeated many times WITHIN one document is not removed — that is
+    a repetition signal (``functions/text.repetition_stats``), not
+    cross-document boilerplate.
+
+    Scale shape (100 TB): posexplode → groupBy(line) countDistinct →
+    left join back → one per-doc ``array_sort(collect_list(struct))``
+    reassembly.  The blocklist is only the lines that cross the
+    ``min_docs`` threshold — tiny relative to the corpus — and the
+    join/groupBy shuffle key is the line string (switch to
+    ``sha2(line, 256)`` when average line length outgrows 64 bytes;
+    a 64-bit hash would birthday-collide near 2^32 distinct lines
+    and silently delete innocent text).  Zero Python in the plan."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    dup = (
+        lines.where(F.length(F.trim(F.col("line"))) >= min_chars)
+        .groupBy("line")
+        .agg(F.countDistinct(id_col).alias("ndocs"))
+        .where(F.col("ndocs") >= min_docs)
+        .select("line", F.lit(True).alias("is_dup"))
+    )
+    marked = lines.join(dup, "line", "left")
+    return marked.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("is_dup").isNull(),
+                               F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias(text_col),
+        F.sum(F.when(F.col("is_dup").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_removed"),
+    )
+
+
 # ---------------------------------------------------------- shingles
 def word_shingles(
     df: DataFrame,

@@ -349,3 +349,42 @@ def test_minhash_dedup_groups_vs_union_find(spark, docs_df):
                docs_df, num_hashes=12, bands=4, n=2, threshold=0.2
            ).collect()}
     assert got == want
+
+
+def test_remove_duplicated_lines(spark):
+    from graphscope_spark.functions.dedup import remove_duplicated_lines
+
+    boiler = "COPYRIGHT 2026 EXAMPLE CORP"   # >=10 chars, in 3 docs
+    docs = [
+        (1, "\n".join([boiler, "unique alpha line one", "{",
+                       "unique alpha line two"])),
+        (2, "\n".join([boiler, "unique beta line", "{"])),
+        (3, "\n".join(["unique gamma line", boiler, boiler])),
+        (4, "\n".join(["{", "solo document line"])),
+        (5, boiler),                          # only boilerplate
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: (r["text"], r["n_removed"])
+           for r in remove_duplicated_lines(
+               df, min_docs=2, min_chars=10).collect()}
+    # every occurrence of the boilerplate line is gone (doc 3 loses
+    # both copies); short lines like "{" survive even though shared
+    assert out[1] == ("unique alpha line one\n{\nunique alpha line two", 1)
+    assert out[2] == ("unique beta line\n{", 1)
+    assert out[3] == ("unique gamma line", 2)
+    assert out[4] == ("{\nsolo document line", 0)
+    assert out[5] == ("", 1)
+    assert len(out) == 5  # all-boilerplate docs still present
+
+
+def test_remove_duplicated_lines_min_docs_threshold(spark):
+    from graphscope_spark.functions.dedup import remove_duplicated_lines
+
+    shared = "a shared long line of text"
+    docs = [(1, shared), (2, shared), (3, "another unique long line")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # min_docs=3: the pair-shared line stays
+    out = {r["doc_id"]: r["n_removed"]
+           for r in remove_duplicated_lines(
+               df, min_docs=3, min_chars=10).collect()}
+    assert out == {1: 0, 2: 0, 3: 0}

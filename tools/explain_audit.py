@@ -188,6 +188,19 @@ def main() -> None:
           and "InMemoryTableScan" in p
           and n_bnlj <= 2, "")
 
+    # 16. line-level dedup: the boilerplate blocklist attaches via a
+    # keyed join on the line string (no cartesian / nested loop) and
+    # the per-doc reassembly is an array_sort inside the aggregate —
+    # never a corpus-wide Window/orderBy
+    from graphscope_spark.entry import q_line_dedup
+
+    p = plan_of(q_line_dedup(spark, sf_dir))
+    check("line-dedup: keyed joins + array_sort reassembly",
+          "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p
+          and "array_sort" in p
+          and "Window" not in p, "")
+
     spark.stop()
     fails = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(fails)}/{len(CHECKS)} checks passed")
