@@ -55,7 +55,11 @@ Supported subset::
                                          ``min`` / ``max`` / ``avg`` /
                                          ``collect`` (returned sorted
                                          for engine-portable
-                                         determinism); a mix of
+                                         determinism), with
+                                         aggregate-level DISTINCT for
+                                         count/sum/collect (min/max
+                                         absorb it; avg(DISTINCT) is
+                                         rejected); a mix of
                                          aggregates and keys does the
                                          implicit Cypher grouping
     WITH a, count(b) AS n WHERE n > 2 MATCH (a)-->(c) ...
@@ -635,6 +639,26 @@ class _Compiler:
                 if kw == "COUNT" and p.accept("op", "*"):
                     fac, name = (lambda: F.count(F.lit(1))), "count"
                 else:
+                    # aggregate-level DISTINCT: count/sum/collect get
+                    # the real distinct aggregate, min/max are
+                    # DISTINCT-insensitive so the keyword is simply
+                    # absorbed; avg(DISTINCT) has no Column-API form
+                    # and is rejected (spell it sum(DISTINCT x) /
+                    # count(DISTINCT x) if needed)
+                    if p.accept("kw", "DISTINCT"):
+                        if kw == "COUNT":
+                            agg = F.countDistinct
+                        elif kw == "SUM":
+                            agg = F.sum_distinct
+                        elif kw == "COLLECT":
+                            agg = (lambda c:
+                                   F.sort_array(F.collect_set(c)))
+                        elif kw == "AVG":
+                            raise ValueError(
+                                "avg(DISTINCT x) is not supported; "
+                                "use sum(DISTINCT x) and "
+                                "count(DISTINCT x)"
+                            )
                     inner, iname = self._operand(p)
                     fac = (lambda agg=agg, inner=inner: agg(inner()))
                     name = f"{kw.lower()}_{iname}"

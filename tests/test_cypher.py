@@ -512,3 +512,38 @@ def test_shortest_path_rejections(spark, g):
     for q, pat in cases:
         with pytest.raises(ValueError, match=pat):
             cypher(g, q)
+
+
+def test_aggregate_distinct(spark, g):
+    q = ("MATCH (a)-->(b)-->(c) "
+         "RETURN a, count(DISTINCT c) AS n ORDER BY a")
+    got = [(r["a"], r["n"]) for r in cypher(g, q).collect()]
+    want = []
+    for a in sorted({x for x, _ in EDGES}):
+        cs = {c for a2, b in EDGES if a2 == a
+              for b2, c in EDGES if b2 == b}
+        if cs:
+            want.append((a, len(cs)))
+    assert got == want
+
+
+def test_collect_distinct_sorted(spark, g):
+    q = "MATCH (a)-->(b) RETURN a, collect(DISTINCT b) AS bs ORDER BY a"
+    got = {r["a"]: r["bs"] for r in cypher(g, q).collect()}
+    for a, bs in got.items():
+        assert bs == sorted(set(bs))
+
+
+def test_sum_distinct(spark, g):
+    # vertex 0,5,7 all point somewhere; sum of DISTINCT target nums
+    q = ("MATCH (a)-->(b) WHERE a = 0 "
+         "RETURN sum(DISTINCT b.num) AS s")
+    [row] = cypher(g, q).collect()
+    num = {i: n for i, _, n in VERTS}
+    want = sum({num[b] for a, b in EDGES if a == 0})
+    assert row["s"] == want
+
+
+def test_avg_distinct_rejected(spark, g):
+    with pytest.raises(ValueError, match="avg\\(DISTINCT"):
+        cypher(g, "MATCH (a)-->(b) RETURN avg(DISTINCT b.num) AS s")
