@@ -46,7 +46,13 @@ Supported subset::
                                          comparisons over node vars
                                          (= their ids), ``var.prop``
                                          vertex properties, ``id(var)``;
-                                         AND / OR / NOT, parens
+                                         AND / OR / NOT, parens;
+                                         string predicates
+                                         ``STARTS WITH`` /
+                                         ``ENDS WITH`` / ``CONTAINS``
+                                         and literal-list membership
+                                         ``a IN [1, 2, 3]``
+                                         (``ExprGS.g4:65``)
     RETURN DISTINCT a, b.prop AS p, count(*) AS n
                                          node vars (their ids),
                                          properties, ``id(var)``,
@@ -586,6 +592,39 @@ class _Compiler:
 
     def _comparison(self, p: _Parser):
         lhs, _ = self._operand(p)
+        t = p.peek()
+        # string / membership predicates (reference grammar
+        # ExprGS.g4:65: STARTS WITH | ENDS WITH | CONTAINS | IN) —
+        # these lex as plain names, and after an operand only an
+        # operator can follow, so the words are unambiguous here
+        if t[0] == "name" and t[1].upper() in ("STARTS", "ENDS",
+                                               "CONTAINS", "IN"):
+            word = p.next()[1].upper()
+            if word in ("STARTS", "ENDS"):
+                p.expect("kw", "WITH")
+                rhs, _ = self._operand(p)
+                meth = "startswith" if word == "STARTS" else "endswith"
+                return lambda: getattr(lhs(), meth)(rhs())
+            if word == "CONTAINS":
+                rhs, _ = self._operand(p)
+                return lambda: lhs().contains(rhs())
+            p.expect("op", "[")
+            vals = []
+            if p.peek() != ("op", "]"):
+                while True:
+                    lt = p.next()
+                    if lt[0] not in ("num", "str"):
+                        raise ValueError(
+                            "IN lists may hold only number/string "
+                            f"literals, got {lt[1]!r}"
+                        )
+                    vals.append(ast.literal_eval(lt[1]))
+                    if not p.accept("op", ","):
+                        break
+            p.expect("op", "]")
+            if not vals:
+                return lambda: F.lit(False)
+            return lambda: lhs().isin(vals)
         op = p.expect("op")[1]
         if op not in self._CMP:
             raise ValueError(f"unsupported comparison {op!r}")

@@ -547,3 +547,27 @@ def test_sum_distinct(spark, g):
 def test_avg_distinct_rejected(spark, g):
     with pytest.raises(ValueError, match="avg\\(DISTINCT"):
         cypher(g, "MATCH (a)-->(b) RETURN avg(DISTINCT b.num) AS s")
+
+
+def test_where_string_predicates(spark, g):
+    cat = {i: c for i, c, _ in VERTS}
+    q = "MATCH (a)-->(b) WHERE a.cat STARTS WITH 'a' RETURN a, b"
+    got = rows(cypher(g, q), "a", "b")
+    assert got == sorted((a, b) for a, b in EDGES if cat[a].startswith("a"))
+    q = "MATCH (a)-->(b) WHERE b.cat ENDS WITH 'b' RETURN a, b"
+    got = rows(cypher(g, q), "a", "b")
+    assert got == sorted((a, b) for a, b in EDGES if cat[b].endswith("b"))
+    q = "MATCH (a)-->(b) WHERE a.cat CONTAINS 'c' RETURN a, b"
+    got = rows(cypher(g, q), "a", "b")
+    assert got == sorted((a, b) for a, b in EDGES if "c" in cat[a])
+
+
+def test_where_in_list(spark, g):
+    q = "MATCH (a)-->(b) WHERE a IN [0, 5, 7] RETURN a, b"
+    got = rows(cypher(g, q), "a", "b")
+    assert got == sorted((a, b) for a, b in EDGES if a in (0, 5, 7))
+    # empty list matches nothing; NOT ... IN inverts
+    assert cypher(g, "MATCH (a)-->(b) WHERE a IN [] RETURN a").count() == 0
+    q = "MATCH (a)-->(b) WHERE NOT a IN [0, 5, 7] RETURN a, b"
+    got = rows(cypher(g, q), "a", "b")
+    assert got == sorted((a, b) for a, b in EDGES if a not in (0, 5, 7))
