@@ -52,7 +52,9 @@ Supported subset::
                                          ``ENDS WITH`` / ``CONTAINS``
                                          and literal-list membership
                                          ``a IN [1, 2, 3]``
-                                         (``ExprGS.g4:65``)
+                                         (``ExprGS.g4:65``);
+                                         ``x IS [NOT] NULL`` for
+                                         OPTIONAL-MATCH survivors
     RETURN DISTINCT a, b.prop AS p, count(*) AS n
                                          node vars (their ids),
                                          properties, ``id(var)``,
@@ -597,6 +599,18 @@ class _Compiler:
         # ExprGS.g4:65: STARTS WITH | ENDS WITH | CONTAINS | IN) —
         # these lex as plain names, and after an operand only an
         # operator can follow, so the words are unambiguous here
+        if t[0] == "name" and t[1].upper() == "IS":
+            # IS [NOT] NULL — the standard test on variables left
+            # unbound by an OPTIONAL MATCH (typically in a WITH ...
+            # WHERE stage, Cypher's anti-join idiom)
+            p.next()
+            neg = p.accept("kw", "NOT")
+            word = p.expect("name")[1]
+            if word.upper() != "NULL":
+                raise ValueError(f"expected NULL after IS, got {word!r}")
+            if neg:
+                return lambda: lhs().isNotNull()
+            return lambda: lhs().isNull()
         if t[0] == "name" and t[1].upper() in ("STARTS", "ENDS",
                                                "CONTAINS", "IN"):
             word = p.next()[1].upper()

@@ -571,3 +571,20 @@ def test_where_in_list(spark, g):
     q = "MATCH (a)-->(b) WHERE NOT a IN [0, 5, 7] RETURN a, b"
     got = rows(cypher(g, q), "a", "b")
     assert got == sorted((a, b) for a, b in EDGES if a not in (0, 5, 7))
+
+
+def test_is_null_after_optional(spark, g):
+    # anti-join idiom: keep (a, b) whose b has NO out-neighbor with
+    # num > 4 (only vertex 4 has num 5, so only b=3 is excluded)
+    q = ("MATCH (a)-->(b) OPTIONAL MATCH (b)-->(c) WHERE c.num > 4 "
+         "WITH a, b, c WHERE c IS NULL RETURN a, b ORDER BY a, b")
+    got = rows(cypher(g, q), "a", "b")
+    num = {i: n for i, _, n in VERTS}
+    haves = {b for b, c in EDGES if num[c] > 4}
+    want = sorted((a, b) for a, b in EDGES if b not in haves)
+    assert got == want
+    # IS NOT NULL selects exactly the complement
+    q2 = ("MATCH (a)-->(b) OPTIONAL MATCH (b)-->(c) WHERE c.num > 4 "
+          "WITH a, b, c WHERE c IS NOT NULL RETURN a, b ORDER BY a, b")
+    got2 = rows(cypher(g, q2), "a", "b")
+    assert got2 == sorted((a, b) for a, b in EDGES if b in haves)
