@@ -518,6 +518,192 @@ FROM marked GROUP BY doc_id
 """
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher rule-based quality filter (Rae et al. 2021, Appendix
+    A1.1; ``functions/quality.gopher_rules``).  The synthetic docs are
+    single-line and nearly stop-word-free, so the query derives a
+    deterministic corpus that exercises every rule: even doc_ids gain
+    a stop-word-rich clause (trips the ≥2-stop-words rule the rest
+    fail), ``doc_id % 7`` docs gain a ``###`` run (symbol-ratio +
+    alpha-fraction trips), ``doc_id % 11`` docs gain a second line
+    ending in an ellipsis (ellipsis-fraction trip)."""
+    from graphscope_spark.functions.quality import gopher_rules
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit(" to be of and that have with more words."),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(" ### ### ### ### ### ### ###"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit("\nto be continued..."),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return gopher_rules(corpus)
+
+
+_GOPHER_CORPUS_SQL = """\
+corpus AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' to be of and that have with more words.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' ### ### ### ### ### ### ###' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN chr(10) || 'to be continued...' ELSE '' END
+           AS text
+  FROM documents)"""
+
+
+def _gopher_quality_sql() -> str:
+    stops = ", ".join(f"'{w}'" for w in
+                      ["the", "be", "to", "of", "and", "that", "have",
+                       "with"])
+    return f"""\
+WITH {_GOPHER_CORPUS_SQL},
+t1 AS (SELECT doc_id, text, {_TOKS} AS t,
+              string_split(text, chr(10)) AS ln
+       FROM corpus),
+m AS (SELECT doc_id,
+        len(t)::BIGINT AS n_words,
+        CASE WHEN len(t) > 0 THEN
+          list_aggregate(list_transform(t, x -> len(x)::DOUBLE), 'sum')
+            / len(t) ELSE 0.0 END AS mwl,
+        CASE WHEN len(t) > 0 THEN
+          ((length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) / 3
+          )::DOUBLE / len(t)
+        ELSE 0.0 END AS sym,
+        CASE WHEN len(ln) > 0 THEN
+          len(list_filter(ln, x -> regexp_matches(x, '^\\s*[•*-]')))::DOUBLE
+            / len(ln) ELSE 0.0 END AS bf,
+        CASE WHEN len(ln) > 0 THEN
+          len(list_filter(ln,
+              x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$')))::DOUBLE
+            / len(ln) ELSE 0.0 END AS ef,
+        CASE WHEN len(t) > 0 THEN
+          len(list_filter(t, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+            / len(t) ELSE 0.0 END AS af,
+        len(list_intersect(list_distinct(t), [{stops}]))::BIGINT
+          AS stop_hits
+      FROM t1)
+SELECT doc_id, n_words,
+       round(mwl, 6) AS mean_word_len,
+       round(sym, 6) AS symbol_ratio,
+       round(bf, 6) AS bullet_frac,
+       round(ef, 6) AS ellipsis_frac,
+       round(af, 6) AS alpha_frac,
+       stop_hits,
+       ((n_words BETWEEN 50 AND 100000)
+        AND (mwl BETWEEN 3.0 AND 10.0) AND sym <= 0.1
+        AND bf < 0.9 AND ef < 0.3 AND af >= 0.8
+        AND stop_hits >= 2) AS keep
+FROM m"""
+
+
+def q_c4_clean(spark, sf_dir):
+    """C4 line/page cleaning (Raffel et al. 2020, §2.2;
+    ``functions/quality.c4_clean``) over a derived multi-line corpus:
+    base text + '.', a too-short line (always dropped), a filler
+    sentence whose terminal '.' exists only for even doc_ids, a
+    unique per-doc tail, and two page-level poison variants —
+    ``doc_id % 13`` docs gain a curly brace, ``doc_id % 17`` docs a
+    ``Lorem Ipsum`` line — which drop the whole page."""
+    from graphscope_spark.functions.quality import c4_clean
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.col("text"), F.lit(".")),
+            F.lit("too short line"),
+            F.concat(
+                F.lit("this filler line carries exactly seven words"),
+                F.when(F.col("doc_id") % 2 == 0, F.lit(".")).otherwise(
+                    F.lit("")
+                ),
+            ),
+            F.concat(
+                F.lit("document "),
+                F.col("doc_id").cast("string"),
+                F.lit(" closes with a unique tail here."),
+            ),
+            F.when(
+                F.col("doc_id") % 13 == 0, F.lit("config = { nested }")
+            ).otherwise(F.lit("no braces on this line either.")),
+            F.when(
+                F.col("doc_id") % 17 == 0,
+                F.lit("Lorem Ipsum dolor sit amet filler."),
+            ).otherwise(F.lit("regular closing sentence with five words.")),
+        ).alias("text"),
+    )
+    return c4_clean(corpus)
+
+
+_C4_CLEAN_SQL = """\
+WITH corpus AS (
+  SELECT doc_id,
+         text || '.' || chr(10)
+         || 'too short line' || chr(10)
+         || 'this filler line carries exactly seven words'
+         || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END || chr(10)
+         || 'document ' || doc_id || ' closes with a unique tail here.'
+         || chr(10)
+         || CASE WHEN doc_id % 13 = 0 THEN 'config = { nested }'
+                 ELSE 'no braces on this line either.' END || chr(10)
+         || CASE WHEN doc_id % 17 = 0
+                 THEN 'Lorem Ipsum dolor sit amet filler.'
+                 ELSE 'regular closing sentence with five words.' END
+           AS text
+  FROM documents),
+ok AS (SELECT doc_id, text FROM corpus
+       WHERE lower(text) NOT LIKE '%lorem ipsum%'
+         AND text NOT LIKE '%{%'),
+lines AS (
+  SELECT doc_id, i AS pos, ln[i+1] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ln FROM ok),
+       unnest(range(length(ln))) AS u(i)),
+kept AS (
+  SELECT doc_id, pos, line FROM lines
+  WHERE regexp_matches(line, '[.!?"]\\s*$')
+    AND len(string_split(
+          regexp_replace(trim(line), '\\s+', ' ', 'g'), ' ')) >= 5),
+agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         count(*)::BIGINT AS n_lines
+  FROM kept GROUP BY doc_id)
+SELECT doc_id, text, n_lines FROM agg WHERE n_lines >= 3
+"""
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Top-100 corpus vocabulary by frequency
+    (``functions/quality.vocab_topk``), word-ascending tie-break."""
+    from graphscope_spark.functions.quality import vocab_topk
+
+    return vocab_topk(load(spark, sf_dir, "documents"), k=100)
+
+
+_VOCAB_TOPK_SQL = f"""\
+WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+w AS (SELECT unnest(t) AS word FROM toks),
+c AS (SELECT word, count(*)::BIGINT AS cnt FROM w GROUP BY word)
+SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 100
+"""
+
+
 def q_text_stats(spark, sf_dir):
     from graphscope_spark.functions.text import text_stats
 
@@ -4502,6 +4688,9 @@ _REGISTRY_ORDER = [
     "attr_assortativity", "numeric_assortativity", "edge_boundary",
     "gie_shortest_path", "cypher_topdeg", "cypher_varlen",
     "cypher_optional", "cypher_with", "cypher_shortest", "line_dedup",
+    # NEW in round 5 (continuation session): published rule-based
+    # curation filters (Gopher A1.1, C4 §2.2) + vocab top-k
+    "gopher_quality", "c4_clean", "vocab_topk",
     # new or operator-changed in round 4: full APSP (landmark
     # batches), property-graph projection, single-action-per-round
     # eigenvector/HITS, and the dedup family whose LSH banding gained
@@ -4530,8 +4719,14 @@ _REGISTRY_ORDER = [
     # direction, fluid storage-agnostic undirected edges, ppr empty
     # guard
     "bfs", "sssp", "sssp_path", "sssp_has_path",
-    "betweenness_sample", "edge_betweenness_sample",
-    "voterank", "fluid", "ppr",
+    "betweenness_sample",
+    "voterank",
+    # ann_ivf/louvain stay inside the window (similarity.py changed
+    # in r5; louvain was windowed in r4 and rides along); fluid, ppr
+    # and edge_betweenness_sample rotate out to make room for the
+    # three new curation queries — fluid.py / pagerank.py /
+    # betweenness.py are untouched in r5 and all three are r4-driver
+    # green + r5 full-selfcheck green at both scales
     "ann_ivf", "louvain",
     # gremlin_2hop_bag re-enters because gie.py/gremlin.py gained the
     # shortestPath step this round (additive, but the window rule is
@@ -4553,6 +4748,9 @@ _REGISTRY_ORDER = [
     # random_multi_bfs window entries
     "tri_count", "triangles", "skipgram_pairs", "node2vec_walks",
     "tri_variants", "modularity",
+    # rotated out late r5 for gopher_quality/c4_clean/vocab_topk
+    # (see window note above)
+    "fluid", "ppr", "edge_betweenness_sample",
     # ---- position 51+: stable driver-green entries, untouched this
     # round.  The late-r4 window additions (dfs, node2vec_walks,
     # skipgram_pairs, triangles, tri_count, cdlp, gremlin_2hop_bag)
@@ -4756,6 +4954,9 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "cypher_with": (q_cypher_with, _CYPHER_WITH_SQL),
         "cypher_shortest": (q_cypher_shortest, _cypher_shortest_sql()),
         "line_dedup": (q_line_dedup, _LINE_DEDUP_SQL),
+        "gopher_quality": (q_gopher_quality, _gopher_quality_sql()),
+        "c4_clean": (q_c4_clean, _C4_CLEAN_SQL),
+        "vocab_topk": (q_vocab_topk, _VOCAB_TOPK_SQL),
         "assortativity": (
             q_assortativity,
             "WITH " + _G + ",\n"

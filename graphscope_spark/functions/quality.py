@@ -1,0 +1,206 @@
+"""Rule-based document-quality filters for training-data curation.
+
+Two published public filter families, re-expressed as pure Catalyst
+column expressions (zero shuffle — each is a single per-row scan whose
+predicates push down to the parquet/Iceberg scan):
+
+- :func:`gopher_rules` — the Gopher quality heuristics (Rae et al.
+  2021, "Scaling Language Models: Methods, Analysis & Insights from
+  Training Gopher", Appendix A1.1): word-count bounds, mean word
+  length, symbol-to-word ratio, bullet/ellipsis line fractions,
+  alphabetic-word fraction, and a stop-word requirement.
+- :func:`c4_clean` — the C4 cleaning rules (Raffel et al. 2020,
+  "Exploring the Limits of Transfer Learning with a Unified
+  Text-to-Text Transformer", §2.2): keep lines that end in terminal
+  punctuation and have ≥5 words; drop pages containing "lorem ipsum"
+  or a curly brace; require ≥3 retained lines.
+
+Plus :func:`vocab_topk` — corpus vocabulary with frequencies, top-k by
+count (BPE/vocab prep).  The only shuffle in this module: a map-side
+combined word count followed by ``TakeOrderedAndProject`` (orderBy +
+limit never global-sorts the full vocabulary).
+
+The reference engine's curation analog is its quality/stat contexts
+over property graphs; these operate on the ``documents`` corpus the
+driver provides.  100-TB design: gopher/c4 are embarrassingly
+parallel per-row scans; vocab_topk's word shuffle is bounded by
+vocabulary size (sublinear in corpus size) with partial aggregation
+doing the heavy lifting map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.functions.text import tokens
+
+#: Gopher's required-stop-word list (Rae et al. 2021, A1.1): a doc
+#: must contain at least GOPHER_MIN_STOP_HITS distinct of these.
+GOPHER_STOP_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_STOP_HITS = 2
+
+#: terminal-punctuation regex for C4's line filter (Java + RE2 safe).
+_TERMINAL_RE = r'[.!?"]\s*$'
+#: bullet line-start / ellipsis line-end regexes for Gopher.
+_BULLET_RE = r"^\s*[•*-]"
+_ELLIPSIS_RE = r"(\.\.\.|…)\s*$"
+
+
+def _occurrences(c: Column, lit: str) -> Column:
+    """Non-overlapping occurrence count of a literal substring —
+    length difference under replace, identical semantics in DuckDB."""
+    return (
+        (F.length(c) - F.length(F.replace(c, F.lit(lit), F.lit(""))))
+        / len(lit)
+    ).cast("long")
+
+
+def _lines(c: Column) -> Column:
+    return F.split(c, "\n")
+
+
+def gopher_rules(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Gopher quality signals and the combined ``keep``
+    verdict (Rae et al. 2021, Appendix A1.1):
+
+    - ``n_words`` in [50, 100000];
+    - ``mean_word_len`` in [3, 10];
+    - ``symbol_ratio`` (``#`` + ``...`` occurrences per word) ≤ 0.1;
+    - ``bullet_frac`` (lines starting with a bullet) < 0.9;
+    - ``ellipsis_frac`` (lines ending with an ellipsis) < 0.3;
+    - ``alpha_frac`` (words containing ≥1 alphabetic char) ≥ 0.8;
+    - ``stop_hits`` (distinct required stop words present) ≥ 2.
+
+    Pure column expressions — a zero-shuffle scan (cf. the same-shaped
+    ``repetition_stats``); at 100 TB this is a map-only pass whose
+    ``keep`` predicate can fuse with downstream filters.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_words = F.size(toks).cast("long")
+    lines = _lines(c)
+    n_lines = F.size(lines)
+
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / n_words,
+    ).otherwise(0.0)
+    symbol_ratio = F.when(
+        n_words > 0,
+        (_occurrences(c, "#") + _occurrences(c, "...")).cast("double")
+        / n_words,
+    ).otherwise(0.0)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: l.rlike(_BULLET_RE))).cast("double")
+        / n_lines,
+    ).otherwise(0.0)
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: l.rlike(_ELLIPSIS_RE))).cast(
+            "double"
+        )
+        / n_lines,
+    ).otherwise(0.0)
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double")
+        / n_words,
+    ).otherwise(0.0)
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS]),
+        )
+    ).cast("long")
+
+    keep = (
+        n_words.between(50, 100_000)
+        & mean_wl.between(3.0, 10.0)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac < 0.9)
+        & (ellipsis_frac < 0.3)
+        & (alpha_frac >= 0.8)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("keep"),
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4 cleaning (Raffel et al. 2020, §2.2): retain only lines that
+    end in terminal punctuation AND have ≥ ``min_line_words`` words;
+    drop the whole document if it mentions ``lorem ipsum`` (any case)
+    or contains ``{``, or fewer than ``min_lines`` lines survive.
+    Returns survivors as ``(id, text, n_lines)`` with the retained
+    lines re-joined in order.
+
+    Zero-shuffle per-row scan; the line logic runs inside one
+    higher-order ``filter`` over the split array, never an explode.
+    """
+    c = F.col(text_col)
+
+    def line_ok(l: Column) -> Column:
+        words = F.split(F.regexp_replace(F.trim(l), r"\s+", " "), " ")
+        return l.rlike(_TERMINAL_RE) & (F.size(words) >= min_line_words)
+
+    kept = F.filter(_lines(c), line_ok)
+    n_kept = F.size(kept).cast("long")
+    doc_ok = (
+        ~F.lower(c).contains("lorem ipsum")
+        & ~c.contains("{")
+        & (n_kept >= min_lines)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.array_join(kept, "\n").alias("text"),
+            n_kept.alias("n_lines"),
+            doc_ok.alias("_ok"),
+        )
+        .where("_ok")
+        .drop("_ok")
+    )
+
+
+def vocab_topk(
+    df: DataFrame, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Top-``k`` corpus vocabulary: ``(word, cnt)`` by descending
+    frequency, word-ascending tie-break (deterministic cut).
+
+    Plan shape: explode → partial map-side count → final count →
+    ``TakeOrderedAndProject`` (orderBy+limit; no global sort of the
+    full vocabulary).  The shuffle is keyed by word and sized by
+    vocabulary, not corpus — sublinear at 100 TB.
+    """
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(k)
+    )

@@ -1,0 +1,101 @@
+"""Rule-based curation filters (functions/quality.py): Gopher A1.1
+rules, C4 §2.2 cleaning, vocabulary top-k — hand-computed expectations
+on tiny corpora, including the empty-text / single-line edge cases."""
+from __future__ import annotations
+
+from graphscope_spark.functions.quality import (
+    c4_clean,
+    gopher_rules,
+    vocab_topk,
+)
+
+# a doc that passes every Gopher rule: >=50 words, mean word length in
+# [3,10], no symbols/bullets/ellipses, all-alpha words, >=2 stop words
+_GOOD = " ".join(["the quick brown fox jumps over lazy dogs to be"] * 6)
+
+
+def _gopher(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+
+
+def test_gopher_keeps_clean_prose(spark):
+    out = _gopher(spark, [(1, _GOOD)])
+    r = out[1]
+    assert r["n_words"] == 60
+    assert 3.0 <= r["mean_word_len"] <= 10.0
+    assert r["symbol_ratio"] == 0.0
+    assert r["stop_hits"] >= 2
+    assert r["keep"] is True
+
+
+def test_gopher_word_count_bounds(spark):
+    out = _gopher(spark, [(1, "the quick fox to be")])  # 5 words < 50
+    assert out[1]["keep"] is False
+    assert out[1]["n_words"] == 5
+
+
+def test_gopher_symbol_ratio_trips(spark):
+    # 60 good words + 12 '#' tokens -> 12/72 = 0.1667 > 0.1
+    out = _gopher(spark, [(1, _GOOD + " " + " ".join(["#"] * 12))])
+    assert out[1]["symbol_ratio"] > 0.1
+    assert out[1]["keep"] is False
+
+
+def test_gopher_ellipsis_and_bullet_lines(spark):
+    text = _GOOD + "\nto be continued...\n- bullet item"
+    out = _gopher(spark, [(1, text)])
+    r = out[1]
+    assert abs(r["ellipsis_frac"] - 1 / 3) < 1e-6
+    assert abs(r["bullet_frac"] - 1 / 3) < 1e-6
+    assert r["keep"] is False  # ellipsis_frac 0.33 >= 0.3
+
+
+def test_gopher_alpha_fraction_and_stops(spark):
+    # 10 numeric tokens out of 12 -> alpha 1/6 < 0.8; stops only 'the'
+    out = _gopher(spark, [(1, "the " + " ".join(str(i) for i in range(10)) + " word")])
+    r = out[1]
+    assert r["alpha_frac"] < 0.8
+    assert r["stop_hits"] == 1
+    assert r["keep"] is False
+
+
+def test_gopher_empty_text(spark):
+    out = _gopher(spark, [(1, "")])
+    r = out[1]
+    assert r["n_words"] == 0
+    assert r["mean_word_len"] == 0.0
+    assert r["keep"] is False
+
+
+def test_c4_line_and_page_rules(spark):
+    rows = [
+        # two qualifying lines + one short + one unterminated -> only
+        # 2 survive -> page dropped (min_lines=3)
+        (1, "this first sentence carries six words.\nshort one.\n"
+            "an unterminated line with many words\n"
+            "this second sentence also carries six words."),
+        # three qualifying lines -> kept, short line stripped
+        (2, "alpha beta gamma delta epsilon zeta.\nnope.\n"
+            "one two three four five six!\n"
+            'a quoted line of five words"'),
+        # page poisons
+        (3, "lorem ipsum dolor sit amet filler sentence here."),
+        (4, "a perfectly fine sentence with words { but a brace."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_clean(df).collect()}
+    assert set(out) == {2}
+    assert out[2]["n_lines"] == 3
+    assert "nope." not in out[2]["text"]
+    assert out[2]["text"].count("\n") == 2
+
+
+def test_vocab_topk_counts_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a c d")], "doc_id long, text string"
+    )
+    rows = vocab_topk(df, k=3).collect()
+    assert [(r["word"], r["cnt"]) for r in rows] == [
+        ("a", 3), ("b", 3), ("c", 2),
+    ]
