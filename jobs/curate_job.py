@@ -130,13 +130,28 @@ def main() -> None:
     docs = cut(train.join(clean, "doc_id", "left_semi"))
     stages["decontaminated"] = docs.count()
 
-    # 5. quality gates: length/punct score + repetition signals
+    # 5. quality gates: length/punct score + repetition signals +
+    # the structural Gopher rules (Rae et al. 2021 A1.1).  Only the
+    # structure rules gate here — the word-count/stop-word rules are
+    # meaningless on the short stop-word-free synthetic corpus and
+    # would empty the pipeline; a real English corpus would filter on
+    # the combined `keep` column instead.
+    from graphscope_spark.functions.quality import gopher_rules
+
     ts = text_stats(docs).where(F.col("quality") >= 0.8).select("doc_id")
     rs = repetition_stats(docs).where(
         (F.col("distinct_ratio") >= 0.2) & (F.col("top_bigram_frac") <= 0.5)
     ).select("doc_id")
+    gq = gopher_rules(docs).where(
+        (F.col("symbol_ratio") <= 0.1)
+        & (F.col("bullet_frac") < 0.9)
+        & (F.col("ellipsis_frac") < 0.3)
+        & (F.col("alpha_frac") >= 0.8)
+    ).select("doc_id")
     docs = cut(
-        docs.join(ts, "doc_id", "left_semi").join(rs, "doc_id", "left_semi")
+        docs.join(ts, "doc_id", "left_semi")
+        .join(rs, "doc_id", "left_semi")
+        .join(gq, "doc_id", "left_semi")
     )
     stages["quality"] = docs.count()
 

@@ -201,6 +201,26 @@ def main() -> None:
           and "array_sort" in p
           and "Window" not in p, "")
 
+    # 17. Gopher quality rules: a pure per-row scan — zero exchanges,
+    # no join, everything inside whole-stage codegen over the parquet
+    # read (the 100-TB shape: map-only, fuses with downstream filters)
+    from graphscope_spark.functions.quality import gopher_rules
+
+    p = plan_of(gopher_rules(load(spark, sf_dir, "documents")))
+    check("gopher-rules: zero-shuffle per-row scan",
+          "Exchange" not in p and "Join" not in p
+          and "Scan parquet" in p, "")
+
+    # 18. vocab top-k: partial map-side count before the word
+    # exchange, and the final k rows via TakeOrderedAndProject —
+    # never a global Sort of the whole vocabulary
+    from graphscope_spark.functions.quality import vocab_topk
+
+    p = plan_of(vocab_topk(load(spark, sf_dir, "documents"), k=100))
+    check("vocab-topk: map-side combine + TakeOrderedAndProject",
+          "partial_count" in p and "TakeOrderedAndProject" in p
+          and len(re.findall(r"^\(\d+\) Sort\b", p, re.M)) == 0, "")
+
     spark.stop()
     fails = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(fails)}/{len(CHECKS)} checks passed")
