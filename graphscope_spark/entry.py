@@ -688,6 +688,74 @@ SELECT doc_id, text, n_lines FROM agg WHERE n_lines >= 3
 """
 
 
+def q_span_dedup(spark, sf_dir):
+    """Duplicate-span removal (Lee et al. 2021 exact-substring dedup,
+    rolling 5-token-window approximation;
+    ``functions/dedup.remove_duplicated_spans``).  Every third doc is
+    prefixed with a shared 8-token boilerplate header: the lowest-id
+    doc carrying each duplicated window keeps its text, every other
+    doc loses the covered tokens (plus whatever 5-gram collisions the
+    31-word synthetic vocabulary produces naturally)."""
+    from graphscope_spark.functions.dedup import remove_duplicated_spans
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(
+                    "shared boilerplate header alpha beta gamma "
+                    "delta epsilon "
+                ),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return remove_duplicated_spans(corpus, n=5, min_docs=2)
+
+
+_SPAN_DEDUP_SQL = f"""\
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'shared boilerplate header alpha beta gamma '
+                   || 'delta epsilon ' || text
+              ELSE text END AS text
+  FROM documents),
+toks AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+spans AS (
+  SELECT doc_id, i - 1 AS start, array_to_string(t[i:i+4], ' ') AS span
+  FROM (SELECT * FROM toks WHERE len(t) >= 5),
+       unnest(range(1, len(t) - 3)) AS u(i)),
+dup AS (
+  SELECT span, min(doc_id) AS owner FROM spans
+  GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+victims AS (
+  SELECT DISTINCT s.doc_id, s.start + j AS pos
+  FROM spans s JOIN dup d ON d.span = s.span AND s.doc_id <> d.owner,
+       unnest(range(5)) AS v(j)),
+tokpos AS (
+  SELECT doc_id, i AS pos, t[i+1] AS tok
+  FROM toks, unnest(range(len(t))) AS w(i)),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tokpos tp LEFT JOIN victims v
+    ON v.doc_id = tp.doc_id AND v.pos = tp.pos
+  WHERE v.pos IS NULL),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY doc_id),
+sizes AS (SELECT doc_id, len(t)::BIGINT AS n_toks FROM toks)
+SELECT s.doc_id, coalesce(a.text, '') AS text,
+       (s.n_toks - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+FROM sizes s LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_vocab_topk(spark, sf_dir):
     """Top-100 corpus vocabulary by frequency
     (``functions/quality.vocab_topk``), word-ascending tie-break."""
@@ -4689,8 +4757,9 @@ _REGISTRY_ORDER = [
     "gie_shortest_path", "cypher_topdeg", "cypher_varlen",
     "cypher_optional", "cypher_with", "cypher_shortest", "line_dedup",
     # NEW in round 5 (continuation session): published rule-based
-    # curation filters (Gopher A1.1, C4 §2.2) + vocab top-k
-    "gopher_quality", "c4_clean", "vocab_topk",
+    # curation filters (Gopher A1.1, C4 §2.2), duplicate-span removal
+    # (Lee et al. 2021 window approximation), vocab top-k
+    "gopher_quality", "c4_clean", "span_dedup", "vocab_topk",
     # new or operator-changed in round 4: full APSP (landmark
     # batches), property-graph projection, single-action-per-round
     # eigenvector/HITS, and the dedup family whose LSH banding gained
@@ -4719,7 +4788,6 @@ _REGISTRY_ORDER = [
     # direction, fluid storage-agnostic undirected edges, ppr empty
     # guard
     "bfs", "sssp", "sssp_path", "sssp_has_path",
-    "betweenness_sample",
     "voterank",
     # ann_ivf/louvain stay inside the window (similarity.py changed
     # in r5; louvain was windowed in r4 and rides along); fluid, ppr
@@ -4748,9 +4816,10 @@ _REGISTRY_ORDER = [
     # random_multi_bfs window entries
     "tri_count", "triangles", "skipgram_pairs", "node2vec_walks",
     "tri_variants", "modularity",
-    # rotated out late r5 for gopher_quality/c4_clean/vocab_topk
-    # (see window note above)
-    "fluid", "ppr", "edge_betweenness_sample",
+    # rotated out late r5 for gopher_quality/c4_clean/span_dedup/
+    # vocab_topk (see window note above); betweenness.py is untouched
+    # in r5 and both sample queries are r4-driver green
+    "fluid", "ppr", "edge_betweenness_sample", "betweenness_sample",
     # ---- position 51+: stable driver-green entries, untouched this
     # round.  The late-r4 window additions (dfs, node2vec_walks,
     # skipgram_pairs, triangles, tri_count, cdlp, gremlin_2hop_bag)
@@ -4956,6 +5025,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "line_dedup": (q_line_dedup, _LINE_DEDUP_SQL),
         "gopher_quality": (q_gopher_quality, _gopher_quality_sql()),
         "c4_clean": (q_c4_clean, _C4_CLEAN_SQL),
+        "span_dedup": (q_span_dedup, _SPAN_DEDUP_SQL),
         "vocab_topk": (q_vocab_topk, _VOCAB_TOPK_SQL),
         "assortativity": (
             q_assortativity,
