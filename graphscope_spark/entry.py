@@ -4781,7 +4781,7 @@ _REGISTRY_ORDER = [
     # window: apsp_full is above; these are the rest
     "random_multi_bfs",
     "apsp_sample", "sssp_avg_length", "closeness_sample",
-    "closeness_full", "harmonic_sample",
+    "harmonic_sample",
     # third self-review batch changed these operators — all re-enter
     # the window: bfs/sssp/has_path loop cleanup, sssp_path edge-table
     # reuse, Brandes shared forward sweep, voterank NetworkX voting
@@ -4795,7 +4795,7 @@ _REGISTRY_ORDER = [
     # three new curation queries — fluid.py / pagerank.py /
     # betweenness.py are untouched in r5 and all three are r4-driver
     # green + r5 full-selfcheck green at both scales
-    "ann_ivf", "louvain",
+    "ann_ivf",
     # gremlin_2hop_bag re-enters because gie.py/gremlin.py gained the
     # shortestPath step this round (additive, but the window rule is
     # module-level); tri_count AND triangles rotate to the tail to
@@ -4820,6 +4820,11 @@ _REGISTRY_ORDER = [
     # vocab_topk (see window note above); betweenness.py is untouched
     # in r5 and both sample queries are r4-driver green
     "fluid", "ppr", "edge_betweenness_sample", "betweenness_sample",
+    # closeness_full + louvain rotated out late r5 so gremlin_2hop_bag
+    # (gie.py changed this round) stays inside the window —
+    # centrality.py / louvain.py are untouched in r5 and both queries
+    # are r4-driver green
+    "closeness_full", "louvain",
     # ---- position 51+: stable driver-green entries, untouched this
     # round.  The late-r4 window additions (dfs, node2vec_walks,
     # skipgram_pairs, triangles, tri_count, cdlp, gremlin_2hop_bag)
