@@ -304,6 +304,34 @@ def main() -> None:
     )
     timings["line_dedup"] = time.time() - t0
 
+    # -- duplicate-span removal (same derived header makes every 3rd
+    # doc share 5-token windows) + Gopher rule scan over raw docs
+    from graphscope_spark.functions.dedup import remove_duplicated_spans
+    from graphscope_spark.functions.quality import gopher_rules
+
+    t0 = time.time()
+    span_corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("shared boilerplate header alpha beta gamma "
+                      "delta epsilon "),
+                F.col("text"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    n_span_removed = (
+        remove_duplicated_spans(span_corpus, n=5, min_docs=2)
+        .agg(F.sum("n_removed")).first()[0]
+    )
+    timings["span_dedup"] = time.time() - t0
+    t0 = time.time()
+    n_gopher_keep = gopher_rules(docs).where(
+        (F.col("symbol_ratio") <= 0.1) & (F.col("alpha_frac") >= 0.8)
+    ).count()
+    timings["gopher_rules"] = time.time() - t0
+
     out = {
         "metric": "flagship graph apps wall time (co-order part graph)",
         "value": round(sum(timings.values()), 3),
@@ -320,7 +348,9 @@ def main() -> None:
         "pagerank_supersteps_to_1e6": conv_stats.get("rounds"),
         "documents": {"rows": n_docs, "minhash_dup_pairs": n_dups,
                       "contaminated": n_contam, "packed_bins": n_bins,
-                      "boilerplate_lines_removed": int(n_lines_removed or 0)},
+                      "boilerplate_lines_removed": int(n_lines_removed or 0),
+                      "span_tokens_removed": int(n_span_removed or 0),
+                      "gopher_structural_keep": int(n_gopher_keep)},
         "big_graph": big_stats,
         "mined_graph": {
             "edges": n_mined_edges,

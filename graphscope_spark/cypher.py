@@ -55,6 +55,17 @@ Supported subset::
                                          (``ExprGS.g4:65``);
                                          ``x IS [NOT] NULL`` for
                                          OPTIONAL-MATCH survivors
+    a.num + b.num * 2, -a.num            arithmetic (+ - * / %) with
+                                         standard precedence and
+                                         unary minus, anywhere an
+                                         operand is legal (WHERE
+                                         sides, RETURN/WITH items,
+                                         aggregate arguments)
+    CASE WHEN a.num > 3 THEN 'big'       searched CASE expression
+         WHEN a.num > 1 THEN 'mid'       (``CypherGS.g4``
+         ELSE 'small' END                caseExpression) compiling to
+                                         chained F.when; ELSE optional
+                                         (NULL when absent)
     RETURN DISTINCT a, b.prop AS p, count(*) AS n
                                          node vars (their ids),
                                          properties, ``id(var)``,
@@ -131,9 +142,9 @@ _TOKEN = re.compile(
     r"""\s*(?:
       (?P<arrow><-\[|-\[|\]->|\]-|<--|-->|--)
     | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
-    | (?P<num>-?\d+(?:\.\d+)?)
+    | (?P<num>\d+(?:\.\d+)?)
     | (?P<name>[A-Za-z_][A-Za-z_0-9]*)
-    | (?P<op><>|<=|>=|=|<|>|\(|\)|\[|\]|\{|\}|,|\.\.|\.|\*|:)
+    | (?P<op><>|<=|>=|=|<|>|\(|\)|\[|\]|\{|\}|,|\.\.|\.|\*|:|\+|-|/|%)
     )""",
     re.X,
 )
@@ -163,6 +174,21 @@ def _tokenize(q: str) -> list[tuple[str, str]]:
         else:
             out.append((kind, val))
     return out
+
+
+def _literal(p: "_Parser"):
+    """number/string literal with optional unary minus (the sign is
+    an operator token now that ``-`` is also binary arithmetic)."""
+    neg = p.accept("op", "-")
+    t = p.next()
+    if t[0] not in ("num", "str"):
+        raise ValueError(f"expected a literal, got {t[1]!r}")
+    v = ast.literal_eval(t[1])
+    if neg:
+        if isinstance(v, str):
+            raise ValueError("cannot negate a string literal")
+        v = -v
+    return v
 
 
 class _Parser:
@@ -233,12 +259,7 @@ class _Compiler:
                 else:
                     prop = p.expect("name")[1]
                 p.expect("op", ":")
-                t = p.next()
-                if t[0] not in ("num", "str"):
-                    raise ValueError(
-                        f"property map values must be literals, got {t[1]!r}"
-                    )
-                filters.append((prop, ast.literal_eval(t[1])))
+                filters.append((prop, _literal(p)))
                 if not p.accept("op", ","):
                     break
             p.expect("op", "}")
@@ -538,10 +559,54 @@ class _Compiler:
         """Returns (Column-factory, default name).  The factory is
         deferred so property columns can be joined in first."""
         t = p.peek()
+        if t == ("op", "-"):
+            p.next()
+            inner, name = self._operand(p)
+            return (lambda: -inner()), name
+        if t == ("op", "("):
+            # parenthesised arithmetic sub-expression
+            p.next()
+            inner, name = self._arith(p)
+            p.expect("op", ")")
+            return inner, name
         if t[0] in ("num", "str"):
             p.next()
             v = ast.literal_eval(t[1])
             return (lambda: F.lit(v)), repr(v)
+        if t[0] == "name" and t[1].upper() == "CASE":
+            # searched CASE (reference grammar CypherGS.g4
+            # caseExpression): CASE WHEN pred THEN val ... [ELSE val]
+            # END -> chained F.when
+            p.next()
+            branches = []
+            while (p.peek()[0] == "name"
+                   and p.peek()[1].upper() == "WHEN"):
+                p.next()
+                pred = self._expr(p)
+                kw = p.expect("name")[1]
+                if kw.upper() != "THEN":
+                    raise ValueError(f"expected THEN, got {kw!r}")
+                val, _ = self._arith(p)
+                branches.append((pred, val))
+            if not branches:
+                raise ValueError("CASE needs at least one WHEN branch")
+            default = None
+            if p.peek()[0] == "name" and p.peek()[1].upper() == "ELSE":
+                p.next()
+                default, _ = self._arith(p)
+            kw = p.expect("name")[1]
+            if kw.upper() != "END":
+                raise ValueError(f"expected END, got {kw!r}")
+
+            def fac(branches=branches, default=default):
+                col = F.when(branches[0][0](), branches[0][1]())
+                for pred, val in branches[1:]:
+                    col = col.when(pred(), val())
+                if default is not None:
+                    col = col.otherwise(default())
+                return col
+
+            return fac, "case"
         if t == ("kw", "ID"):
             p.next()
             p.expect("op", "(")
@@ -586,6 +651,35 @@ class _Compiler:
         if self.ref_vars is not None:
             self.ref_vars.add(var)
 
+    # ------------------------------------------------- arithmetic
+    _MUL = {
+        "*": lambda a, b: a * b,
+        "/": lambda a, b: a / b,
+        "%": lambda a, b: a % b,
+    }
+    _ADD = {"+": lambda a, b: a + b, "-": lambda a, b: a - b}
+
+    def _aterm(self, p: _Parser):
+        fac, name = self._operand(p)
+        while p.peek()[0] == "op" and p.peek()[1] in self._MUL:
+            op = self._MUL[p.next()[1]]
+            rhs, _ = self._operand(p)
+            fac = (lambda fac=fac, rhs=rhs, op=op: op(fac(), rhs()))
+            name = "expr"
+        return fac, name
+
+    def _arith(self, p: _Parser):
+        """operand ((*|/|%) operand)* ((+|-) ...)* — standard
+        precedence; the default column name collapses to ``expr``
+        once an operator is consumed (alias compound items with AS)."""
+        fac, name = self._aterm(p)
+        while p.peek()[0] == "op" and p.peek()[1] in self._ADD:
+            op = self._ADD[p.next()[1]]
+            rhs, _ = self._aterm(p)
+            fac = (lambda fac=fac, rhs=rhs, op=op: op(fac(), rhs()))
+            name = "expr"
+        return fac, name
+
     _CMP = {
         "=": lambda a, b: a == b, "<>": lambda a, b: a != b,
         "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
@@ -593,7 +687,7 @@ class _Compiler:
     }
 
     def _comparison(self, p: _Parser):
-        lhs, _ = self._operand(p)
+        lhs, _ = self._arith(p)
         t = p.peek()
         # string / membership predicates (reference grammar
         # ExprGS.g4:65: STARTS WITH | ENDS WITH | CONTAINS | IN) —
@@ -626,13 +720,7 @@ class _Compiler:
             vals = []
             if p.peek() != ("op", "]"):
                 while True:
-                    lt = p.next()
-                    if lt[0] not in ("num", "str"):
-                        raise ValueError(
-                            "IN lists may hold only number/string "
-                            f"literals, got {lt[1]!r}"
-                        )
-                    vals.append(ast.literal_eval(lt[1]))
+                    vals.append(_literal(p))
                     if not p.accept("op", ","):
                         break
             p.expect("op", "]")
@@ -642,7 +730,7 @@ class _Compiler:
         op = p.expect("op")[1]
         if op not in self._CMP:
             raise ValueError(f"unsupported comparison {op!r}")
-        rhs, _ = self._operand(p)
+        rhs, _ = self._arith(p)
         cmp = self._CMP[op]
         return lambda: cmp(lhs(), rhs())
 
@@ -712,13 +800,13 @@ class _Compiler:
                                 "use sum(DISTINCT x) and "
                                 "count(DISTINCT x)"
                             )
-                    inner, iname = self._operand(p)
+                    inner, iname = self._arith(p)
                     fac = (lambda agg=agg, inner=inner: agg(inner()))
                     name = f"{kw.lower()}_{iname}"
                 p.expect("op", ")")
                 kind = "agg"
             else:
-                fac, name = self._operand(p)
+                fac, name = self._arith(p)
                 kind = "key"
             if p.accept("kw", "AS"):
                 # `id` lexes as the ID keyword but is a legitimate —
@@ -854,13 +942,7 @@ def cypher(graph: Graph, query: str) -> DataFrame:
                 vals = []
                 if p.peek() != ("op", "]"):
                     while True:
-                        lt = p.next()
-                        if lt[0] not in ("num", "str"):
-                            raise ValueError(
-                                "UNWIND list literals may hold only "
-                                f"number/string literals, got {lt[1]!r}"
-                            )
-                        vals.append(ast.literal_eval(lt[1]))
+                        vals.append(_literal(p))
                         if not p.accept("op", ","):
                             break
                 p.expect("op", "]")

@@ -2217,6 +2217,45 @@ GROUP BY e.src ORDER BY deg DESC, a ASC LIMIT 20"""
 )
 
 
+def q_cypher_case(spark, sf_dir):
+    """Cypher searched-CASE + arithmetic through the driver protocol
+    (``CypherGS.g4`` caseExpression): bucket co-order partners by
+    size band, with a modulo WHERE filter and an arithmetic aggregate
+    argument — grouping on a computed CASE key, one lazy plan."""
+    from graphscope_spark.cypher import cypher
+
+    verts, dedges = part_edges(spark, sf_dir)
+    attrs = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_size").alias("size")
+    )
+    g = Graph.from_edges(
+        dedges, directed=True, vertices=verts.join(attrs, "id")
+    )
+    return cypher(
+        g,
+        "MATCH (a)-[r]->(b) WHERE a.size % 2 = 0 "
+        "RETURN CASE WHEN b.size > 35 THEN 'big' "
+        "WHEN b.size > 15 THEN 'mid' ELSE 'small' END AS bucket, "
+        "count(*) AS n, sum(b.size * 2 + 1) AS wsum",
+    )
+
+
+_CYPHER_CASE_SQL = (
+    "WITH " + _G + """,
+att AS (SELECT p_partkey AS id, p_size FROM part)
+SELECT CASE WHEN b.p_size > 35 THEN 'big'
+            WHEN b.p_size > 15 THEN 'mid'
+            ELSE 'small' END AS bucket,
+       count(*) AS n,
+       sum(b.p_size * 2 + 1)::BIGINT AS wsum
+FROM dedges e
+JOIN att a ON a.id = e.src
+JOIN att b ON b.id = e.dst
+WHERE a.p_size % 2 = 0
+GROUP BY 1"""
+)
+
+
 def q_cypher_varlen(spark, sf_dir):
     """Variable-length Cypher pattern (GIE PathExpand,
     ``physical.proto:213-260``) through the driver protocol: bag count
@@ -4755,7 +4794,8 @@ _REGISTRY_ORDER = [
     # .gs_conf.yaml registry algo with no analog) and edge_boundary
     "attr_assortativity", "numeric_assortativity", "edge_boundary",
     "gie_shortest_path", "cypher_topdeg", "cypher_varlen",
-    "cypher_optional", "cypher_with", "cypher_shortest", "line_dedup",
+    "cypher_optional", "cypher_with", "cypher_shortest", "cypher_case",
+    "line_dedup",
     # NEW in round 5 (continuation session): published rule-based
     # curation filters (Gopher A1.1, C4 §2.2), duplicate-span removal
     # (Lee et al. 2021 window approximation), vocab top-k
@@ -4781,7 +4821,6 @@ _REGISTRY_ORDER = [
     # window: apsp_full is above; these are the rest
     "random_multi_bfs",
     "apsp_sample", "sssp_avg_length", "closeness_sample",
-    "harmonic_sample",
     # third self-review batch changed these operators — all re-enter
     # the window: bfs/sssp/has_path loop cleanup, sssp_path edge-table
     # reuse, Brandes shared forward sweep, voterank NetworkX voting
@@ -4820,11 +4859,11 @@ _REGISTRY_ORDER = [
     # vocab_topk (see window note above); betweenness.py is untouched
     # in r5 and both sample queries are r4-driver green
     "fluid", "ppr", "edge_betweenness_sample", "betweenness_sample",
-    # closeness_full + louvain rotated out late r5 so gremlin_2hop_bag
-    # (gie.py changed this round) stays inside the window —
-    # centrality.py / louvain.py are untouched in r5 and both queries
-    # are r4-driver green
-    "closeness_full", "louvain",
+    # closeness_full + harmonic_sample + louvain rotated out late r5
+    # so gremlin_2hop_bag (gie.py changed this round) and the new
+    # cypher_case stay inside the window — centrality.py / louvain.py
+    # are untouched in r5 and all three queries are r4-driver green
+    "closeness_full", "harmonic_sample", "louvain",
     # ---- position 51+: stable driver-green entries, untouched this
     # round.  The late-r4 window additions (dfs, node2vec_walks,
     # skipgram_pairs, triangles, tri_count, cdlp, gremlin_2hop_bag)
@@ -5027,6 +5066,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "random_multi_bfs": (q_random_multi_bfs, _random_multi_bfs_sql()),
         "cypher_with": (q_cypher_with, _CYPHER_WITH_SQL),
         "cypher_shortest": (q_cypher_shortest, _cypher_shortest_sql()),
+        "cypher_case": (q_cypher_case, _CYPHER_CASE_SQL),
         "line_dedup": (q_line_dedup, _LINE_DEDUP_SQL),
         "gopher_quality": (q_gopher_quality, _gopher_quality_sql()),
         "c4_clean": (q_c4_clean, _C4_CLEAN_SQL),

@@ -588,3 +588,61 @@ def test_is_null_after_optional(spark, g):
           "WITH a, b, c WHERE c IS NOT NULL RETURN a, b ORDER BY a, b")
     got2 = rows(cypher(g, q2), "a", "b")
     assert got2 == sorted((a, b) for a, b in EDGES if b in haves)
+
+
+def test_arithmetic_in_return_and_where(spark, g):
+    num = {i: n for i, _, n in VERTS}
+    q = "MATCH (a)-->(b) WHERE a.num + b.num > 5 RETURN a, b"
+    got = rows(cypher(g, q), "a", "b")
+    assert got == sorted(
+        (a, b) for a, b in EDGES if num[a] + num[b] > 5
+    )
+    q = "MATCH (a)-->(b) RETURN a, a.num * 2 - 1 AS score"
+    got = rows(cypher(g, q), "a", "score")
+    assert got == sorted((a, num[a] * 2 - 1) for a, _ in EDGES)
+    # precedence: * binds tighter than +
+    q = "MATCH (a)-->(b) WHERE a.num + b.num * 0 = 1 RETURN a, b"
+    got = rows(cypher(g, q), "a", "b")
+    assert got == sorted((a, b) for a, b in EDGES if num[a] == 1)
+
+
+def test_unary_minus_and_negative_literals(spark, g):
+    q = "MATCH (a)-->(b) WHERE a.num > -1 RETURN a, b"
+    assert cypher(g, q).count() == len(EDGES)
+    q = "MATCH (a)-->(b) WHERE -a.num < -4 RETURN a, b"
+    num = {i: n for i, _, n in VERTS}
+    got = rows(cypher(g, q), "a", "b")
+    assert got == sorted((a, b) for a, b in EDGES if num[a] > 4)
+    # negative literal inside an IN list and a property map
+    q = "MATCH (a)-->(b) WHERE a IN [-1, 0, 5] RETURN a, b"
+    got = rows(cypher(g, q), "a", "b")
+    assert got == sorted((a, b) for a, b in EDGES if a in (0, 5))
+
+
+def test_case_expression(spark, g):
+    num = {i: n for i, _, n in VERTS}
+    q = ("MATCH (a)-->(b) RETURN a, "
+         "CASE WHEN a.num > 3 THEN 'big' WHEN a.num > 1 THEN 'mid' "
+         "ELSE 'small' END AS bucket")
+    got = rows(cypher(g, q), "a", "bucket")
+    want = sorted(
+        (a, "big" if num[a] > 3 else "mid" if num[a] > 1 else "small")
+        for a, _ in EDGES
+    )
+    assert got == want
+    # no ELSE -> NULL for unmatched rows; CASE value can be arithmetic
+    q = ("MATCH (a)-->(b) RETURN a, "
+         "CASE WHEN a.num > 3 THEN a.num * 10 END AS boosted")
+    got = rows(cypher(g, q), "a", "boosted")
+    want = sorted(
+        (a, num[a] * 10 if num[a] > 3 else None) for a, _ in EDGES
+    )
+    assert got == want
+
+
+def test_case_in_aggregate(spark, g):
+    num = {i: n for i, _, n in VERTS}
+    q = ("MATCH (a)-->(b) RETURN sum(CASE WHEN b.num > 2 THEN 1 "
+         "ELSE 0 END) AS n_big")
+    got = cypher(g, q).collect()[0]["n_big"]
+    assert got == sum(1 for _, b in EDGES if num[b] > 2)
