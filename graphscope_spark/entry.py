@@ -756,6 +756,50 @@ FROM sizes s LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_lm_score(spark, sf_dir):
+    """CCNet-style LM quality score
+    (``functions/quality.bigram_lm_logprob``): an add-0.5 smoothed
+    bigram model trained on the EVEN-doc_id half of the corpus scores
+    every document (odd docs hit unseen transitions → the smoothing
+    fallback is exercised, like scoring web text with a Wikipedia
+    model in CCNet)."""
+    from graphscope_spark.functions.quality import bigram_lm_logprob
+
+    docs = load(spark, sf_dir, "documents")
+    return bigram_lm_logprob(
+        docs, train_df=docs.where(F.col("doc_id") % 2 == 0)
+    )
+
+
+_LM_SCORE_SQL = f"""\
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tr AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+uni AS (SELECT w1, count(*) AS cw
+        FROM (SELECT unnest(t) AS w1 FROM tr) GROUP BY w1),
+v AS (SELECT count(*) AS vs FROM uni),
+bgtr AS (SELECT t[i] AS w1, t[i+1] AS w2
+         FROM (SELECT * FROM tr WHERE len(t) >= 2),
+              unnest(range(1, len(t))) AS u(i)),
+big AS (SELECT w1, w2, count(*) AS cwb FROM bgtr GROUP BY w1, w2),
+bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       FROM (SELECT * FROM toks WHERE len(t) >= 2),
+            unnest(range(1, len(t))) AS u(i)),
+sc AS (SELECT g.doc_id,
+              ln((coalesce(b.cwb, 0) + 0.5)
+                 / (coalesce(u.cw, 0) + 0.5 * v.vs)) AS lp
+       FROM bg g
+       LEFT JOIN big b ON b.w1 = g.w1 AND b.w2 = g.w2
+       LEFT JOIN uni u ON u.w1 = g.w1, v),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               round(avg(lp), 6) AS avg_logp
+        FROM sc GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(a.avg_logp, 0.0) AS avg_logp
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_vocab_topk(spark, sf_dir):
     """Top-100 corpus vocabulary by frequency
     (``functions/quality.vocab_topk``), word-ascending tie-break."""
@@ -4800,6 +4844,7 @@ _REGISTRY_ORDER = [
     # curation filters (Gopher A1.1, C4 §2.2), duplicate-span removal
     # (Lee et al. 2021 window approximation), vocab top-k
     "gopher_quality", "c4_clean", "span_dedup", "vocab_topk",
+    "lm_score",
     # new or operator-changed in round 4: full APSP (landmark
     # batches), property-graph projection, single-action-per-round
     # eigenvector/HITS, and the dedup family whose LSH banding gained
@@ -4815,7 +4860,7 @@ _REGISTRY_ORDER = [
     "embedding_topk", "rel_semijoin",
     "bfs_pred", "bfs_succ",
     "k5_count", "min_cover", "min_dominating",
-    "three_path", "tailed_tri", "diamond",
+    "three_path", "tailed_tri",
     # multi_source_sssp loop changed late r4 (persist-handle cleanup
     # + shared batch edge table) — every consumer re-enters the
     # window: apsp_full is above; these are the rest
@@ -4864,6 +4909,9 @@ _REGISTRY_ORDER = [
     # cypher_case stay inside the window — centrality.py / louvain.py
     # are untouched in r5 and all three queries are r4-driver green
     "closeness_full", "harmonic_sample", "louvain",
+    # diamond rotated out late r5 for lm_score — triangles.py is
+    # untouched in r5 and diamond is r4-driver green
+    "diamond",
     # ---- position 51+: stable driver-green entries, untouched this
     # round.  The late-r4 window additions (dfs, node2vec_walks,
     # skipgram_pairs, triangles, tri_count, cdlp, gremlin_2hop_bag)
@@ -5072,6 +5120,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "c4_clean": (q_c4_clean, _C4_CLEAN_SQL),
         "span_dedup": (q_span_dedup, _SPAN_DEDUP_SQL),
         "vocab_topk": (q_vocab_topk, _VOCAB_TOPK_SQL),
+        "lm_score": (q_lm_score, _LM_SCORE_SQL),
         "assortativity": (
             q_assortativity,
             "WITH " + _G + ",\n"

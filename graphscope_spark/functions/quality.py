@@ -186,6 +186,95 @@ def c4_clean(
     )
 
 
+def bigram_lm_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+    train_df: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style language-model quality score (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data" — which scores docs with a KenLM 5-gram model and
+    keeps the low-perplexity tail): an add-``k`` smoothed BIGRAM model
+    trained on ``train_df`` (default: the corpus itself), scoring each
+    document with its mean token-transition log-probability.
+
+    Returns ``(id_col, n_bigrams, avg_logp)``; perplexity is
+    ``exp(-avg_logp)``.  Higher ``avg_logp`` = more typical of the
+    training corpus (CCNet keeps the head/middle of that ranking).
+    ``P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V)`` with ``V`` the
+    training vocabulary size; unseen transitions fall back to the
+    smoothing mass.  Documents with fewer than two tokens score
+    ``n_bigrams = 0, avg_logp = 0.0``.
+
+    Scale shape (100 TB): two count aggregations with map-side
+    combine (bigram table is vocab²-bounded — sublinear in corpus
+    size), then two keyed joins (bigram, unigram) and one per-doc
+    aggregate.  The single driver scalar is ``V`` (one count — the
+    allreduce analog).  No Python in the plan; ``F.log`` is the JVM
+    natural log."""
+    train = train_df if train_df is not None else df
+    tr = train.select(tokens(F.col(text_col)).alias("t"))
+    uni = (
+        tr.select(F.explode("t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("cw"))
+    )
+    vocab_size = uni.count()
+
+    def doc_bigrams(src: DataFrame, with_id: bool):
+        cols = [F.col(id_col)] if with_id else []
+        toks = tokens(F.col(text_col))
+        return src.select(
+            *cols,
+            F.explode(
+                F.when(
+                    F.size(toks) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(toks) - 2),
+                        lambda i: F.struct(
+                            toks[i].alias("w1"),
+                            toks[i + 1].alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast(
+                    "array<struct<w1:string,w2:string>>"
+                ))
+            ).alias("b"),
+        ).select(*cols, F.col("b.w1").alias("w1"),
+                 F.col("b.w2").alias("w2"))
+
+    big = (
+        doc_bigrams(train, with_id=False)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cwb"))
+    )
+    scored = (
+        doc_bigrams(df, with_id=True)
+        .join(big, ["w1", "w2"], "left")
+        .join(uni, "w1", "left")
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce(F.col("cwb"), F.lit(0)) + F.lit(k))
+                / (F.coalesce(F.col("cw"), F.lit(0))
+                   + F.lit(k) * vocab_size)
+            ).alias("lp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logp"),
+    )
+    return df.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+        .alias("n_bigrams"),
+        F.coalesce(F.col("avg_logp"), F.lit(0.0)).alias("avg_logp"),
+    )
+
+
 def vocab_topk(
     df: DataFrame, k: int = 100, text_col: str = "text"
 ) -> DataFrame:

@@ -99,3 +99,50 @@ def test_vocab_topk_counts_and_tiebreak(spark):
     assert [(r["word"], r["cnt"]) for r in rows] == [
         ("a", 3), ("b", 3), ("c", 2),
     ]
+
+
+def test_bigram_lm_self_train_ranks_typical_text_higher(spark):
+    from graphscope_spark.functions.quality import bigram_lm_logprob
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),
+        (3, "zeta xi omega nu upsilon phi"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_logprob(df).collect()}
+    assert out[1]["n_bigrams"] == 5
+    # docs 1/2 share every transition (count 2); doc 3's are singletons
+    assert out[1]["avg_logp"] == out[2]["avg_logp"]
+    assert out[1]["avg_logp"] > out[3]["avg_logp"]
+
+
+def test_bigram_lm_unseen_transitions_get_smoothing_mass(spark):
+    import math
+
+    from graphscope_spark.functions.quality import bigram_lm_logprob
+
+    train = [(1, "a b a b")]
+    score = [(2, "a b"), (3, "b a"), (4, "q z")]
+    df = spark.createDataFrame(train + score, "doc_id long, text string")
+    tr = df.where("doc_id = 1")
+    out = {r["doc_id"]: r for r in
+           bigram_lm_logprob(df, train_df=tr, k=0.5).collect()}
+    # V=2; c(a)=2, c(b)=2, c(a,b)=2, c(b,a)=1
+    assert abs(out[2]["avg_logp"] - round(math.log(2.5 / 3.0), 6)) < 1e-9
+    assert abs(out[3]["avg_logp"] - round(math.log(1.5 / 3.0), 6)) < 1e-9
+    # both words unseen: (0+0.5)/(0+0.5*2) = 0.5
+    assert abs(out[4]["avg_logp"] - round(math.log(0.5), 6)) < 1e-9
+
+
+def test_bigram_lm_short_docs_score_zero(spark):
+    from graphscope_spark.functions.quality import bigram_lm_logprob
+
+    df = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "two words")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_logprob(df).collect()}
+    assert out[1]["n_bigrams"] == 0 and out[1]["avg_logp"] == 0.0
+    assert out[2]["n_bigrams"] == 0
+    assert out[3]["n_bigrams"] == 1
