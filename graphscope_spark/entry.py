@@ -800,6 +800,60 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (``functions/quality.dsir_logweights``)
+    with the English documents as the target domain and the full
+    corpus as raw — English-looking docs should surface with the
+    highest log-weights, non-English with the lowest."""
+    from graphscope_spark.functions.quality import dsir_logweights
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_logweights(
+        docs, target_df=docs.where(F.col("lang") == "en")
+    )
+
+
+def _dsir_weights_sql(num_buckets: int = 64, a: float = 0.5) -> str:
+    h = _H60.format("gram")
+    grams = f"""\
+  SELECT doc_id, ({h}) % {num_buckets} AS bucket
+  FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(t) >= 2
+           THEN list_concat(t,
+                list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i+1]))
+           ELSE t END) AS gram
+    FROM toks)"""
+    return f"""\
+WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+feats AS (
+{grams}),
+tfeats AS (
+  SELECT f.bucket FROM feats f
+  JOIN documents d ON d.doc_id = f.doc_id AND d.lang = 'en'),
+tc AS (SELECT bucket, count(*) AS ct FROM tfeats GROUP BY bucket),
+rc AS (SELECT bucket, count(*) AS cr FROM feats GROUP BY bucket),
+nt AS (SELECT count(*) AS n FROM tfeats),
+nr AS (SELECT count(*) AS n FROM feats),
+sc AS (
+  SELECT f.doc_id,
+         ln((coalesce(tc.ct, 0) + {a}) / (nt.n + {a} * {num_buckets}))
+         - ln((coalesce(rc.cr, 0) + {a}) / (nr.n + {a} * {num_buckets}))
+           AS lw
+  FROM feats f
+  LEFT JOIN tc ON tc.bucket = f.bucket
+  LEFT JOIN rc ON rc.bucket = f.bucket, nt, nr),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_feats,
+               round(sum(lw), 6) AS log_weight
+        FROM sc GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_feats, 0)::BIGINT AS n_feats,
+       coalesce(a.log_weight, 0.0) AS log_weight
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_vocab_topk(spark, sf_dir):
     """Top-100 corpus vocabulary by frequency
     (``functions/quality.vocab_topk``), word-ascending tie-break."""
@@ -4844,7 +4898,7 @@ _REGISTRY_ORDER = [
     # curation filters (Gopher A1.1, C4 §2.2), duplicate-span removal
     # (Lee et al. 2021 window approximation), vocab top-k
     "gopher_quality", "c4_clean", "span_dedup", "vocab_topk",
-    "lm_score",
+    "lm_score", "dsir_weights",
     # new or operator-changed in round 4: full APSP (landmark
     # batches), property-graph projection, single-action-per-round
     # eigenvector/HITS, and the dedup family whose LSH banding gained
@@ -4860,7 +4914,7 @@ _REGISTRY_ORDER = [
     "embedding_topk", "rel_semijoin",
     "bfs_pred", "bfs_succ",
     "k5_count", "min_cover", "min_dominating",
-    "three_path", "tailed_tri",
+    "three_path",
     # multi_source_sssp loop changed late r4 (persist-handle cleanup
     # + shared batch edge table) — every consumer re-enters the
     # window: apsp_full is above; these are the rest
@@ -4909,9 +4963,10 @@ _REGISTRY_ORDER = [
     # cypher_case stay inside the window — centrality.py / louvain.py
     # are untouched in r5 and all three queries are r4-driver green
     "closeness_full", "harmonic_sample", "louvain",
-    # diamond rotated out late r5 for lm_score — triangles.py is
-    # untouched in r5 and diamond is r4-driver green
-    "diamond",
+    # diamond + tailed_tri rotated out late r5 for lm_score and
+    # dsir_weights — triangles.py is untouched in r5 and both are
+    # r4-driver green
+    "diamond", "tailed_tri",
     # ---- position 51+: stable driver-green entries, untouched this
     # round.  The late-r4 window additions (dfs, node2vec_walks,
     # skipgram_pairs, triangles, tri_count, cdlp, gremlin_2hop_bag)
@@ -5121,6 +5176,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "span_dedup": (q_span_dedup, _SPAN_DEDUP_SQL),
         "vocab_topk": (q_vocab_topk, _VOCAB_TOPK_SQL),
         "lm_score": (q_lm_score, _LM_SCORE_SQL),
+        "dsir_weights": (q_dsir_weights, _dsir_weights_sql()),
         "assortativity": (
             q_assortativity,
             "WITH " + _G + ",\n"

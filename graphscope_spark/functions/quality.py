@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from graphscope_spark.functions.text import tokens
+from graphscope_spark.functions.text import h60, tokens
 
 #: Gopher's required-stop-word list (Rae et al. 2021, A1.1): a doc
 #: must contain at least GOPHER_MIN_STOP_HITS distinct of these.
@@ -272,6 +272,85 @@ def bigram_lm_logprob(
         F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
         .alias("n_bigrams"),
         F.coalesce(F.col("avg_logp"), F.lit(0.0)).alias("avg_logp"),
+    )
+
+
+def _hashed_grams(
+    src: DataFrame, id_col: str | None, text_col: str, num_buckets: int
+) -> DataFrame:
+    """Explode each doc into hashed uni+bigram feature buckets
+    (``h60(gram) % num_buckets``) — DSIR's bag-of-hashed-ngrams."""
+    toks = tokens(F.col(text_col))
+    bis = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", toks[i], toks[i + 1]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    cols = [F.col(id_col)] if id_col else []
+    return src.select(
+        *cols, F.explode(F.concat(toks, bis)).alias("gram")
+    ).select(
+        *cols, (h60(F.col("gram")) % num_buckets).alias("bucket")
+    )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target_df: DataFrame,
+    raw_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+    a: float = 0.5,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hashed uni+bigram
+    features, two smoothed bag-of-buckets unigram models — the TARGET
+    distribution (the domain you want more of) and the RAW
+    distribution (the corpus you are selecting from, default ``df``) —
+    and per document the log importance weight
+    ``Σ_grams [ln p_target(bucket) − ln p_raw(bucket)]`` with add-``a``
+    smoothing.  Select by top weight or Gumbel-perturbed resampling.
+
+    Returns ``(id_col, n_feats, log_weight)``; docs with no tokens get
+    ``(0, 0.0)``.  ``num_buckets`` is the scale knob — DSIR uses 10⁴+
+    in production; the model tables are bucket-count-bounded, so both
+    "training" passes are map-side-combined counts and the scoring
+    pass is one keyed join, independent of corpus size."""
+    raw = raw_df if raw_df is not None else df
+    t_feats = _hashed_grams(target_df, None, text_col, num_buckets)
+    r_feats = _hashed_grams(raw, None, text_col, num_buckets)
+    tc = t_feats.groupBy("bucket").agg(F.count("*").alias("ct"))
+    rc = r_feats.groupBy("bucket").agg(F.count("*").alias("cr"))
+    n_t = t_feats.count()
+    n_r = r_feats.count()
+    denom_t = n_t + a * num_buckets
+    denom_r = n_r + a * num_buckets
+    scored = (
+        _hashed_grams(df, id_col, text_col, num_buckets)
+        .join(tc, "bucket", "left")
+        .join(rc, "bucket", "left")
+        .select(
+            F.col(id_col),
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(a))
+                      / F.lit(denom_t))
+                - F.log((F.coalesce(F.col("cr"), F.lit(0)) + F.lit(a))
+                        / F.lit(denom_r))
+            ).alias("lw"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_feats"),
+        F.round(F.sum("lw"), 6).alias("log_weight"),
+    )
+    return df.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_feats"), F.lit(0)).cast("long")
+        .alias("n_feats"),
+        F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
     )
 
 

@@ -146,3 +146,33 @@ def test_bigram_lm_short_docs_score_zero(spark):
     assert out[1]["n_bigrams"] == 0 and out[1]["avg_logp"] == 0.0
     assert out[2]["n_bigrams"] == 0
     assert out[3]["n_bigrams"] == 1
+
+
+def test_dsir_upweights_target_like_docs(spark):
+    from graphscope_spark.functions.quality import dsir_logweights
+
+    rows = [
+        (1, "alpha beta alpha beta alpha"),   # target-like
+        (2, "alpha beta alpha beta gamma"),
+        (3, "omega psi chi phi upsilon"),     # off-target
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.where("doc_id = 1")
+    out = {r["doc_id"]: r for r in
+           dsir_logweights(df, target_df=target).collect()}
+    assert out[1]["log_weight"] > out[2]["log_weight"] > out[3]["log_weight"]
+    # 5 unigrams + 4 bigrams
+    assert out[1]["n_feats"] == 9
+
+
+def test_dsir_empty_doc_scores_zero(spark):
+    from graphscope_spark.functions.quality import dsir_logweights
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "some words here")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           dsir_logweights(df, target_df=df.where("doc_id = 2")).collect()}
+    assert out[1] == {"doc_id": 1, "n_feats": 0, "log_weight": 0.0} or (
+        out[1]["n_feats"] == 0 and out[1]["log_weight"] == 0.0
+    )
