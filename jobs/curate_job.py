@@ -155,6 +155,22 @@ def main() -> None:
     )
     stages["quality"] = docs.count()
 
+    # 5b. CCNet-style LM gate: score every surviving doc with the
+    # corpus-trained smoothed bigram model and drop the lowest decile
+    # (CCNet buckets by KenLM perplexity and discards the tail).  The
+    # cutoff is one approxQuantile driver scalar.
+    from graphscope_spark.functions.quality import bigram_lm_logprob
+
+    lm = bigram_lm_logprob(docs)
+    cutoff = lm.approxQuantile("avg_logp", [0.1], 0.001)[0]
+    docs = cut(
+        docs.join(
+            lm.where(F.col("avg_logp") >= cutoff).select("doc_id"),
+            "doc_id", "left_semi",
+        )
+    )
+    stages["lm_gate"] = docs.count()
+
     # 6. PII scrub: replace text with the redacted version
     scrubbed = pii_scrub(docs)
     stages["pii_redactions"] = int(
