@@ -60,7 +60,13 @@ Supported subset::
                                          unary minus, anywhere an
                                          operand is legal (WHERE
                                          sides, RETURN/WITH items,
-                                         aggregate arguments)
+                                         aggregate arguments).
+                                         DIVERGENCE: ``/`` is Spark
+                                         Column division (5 / 2 =
+                                         2.5 double), not Neo4j's
+                                         integer truncation — the
+                                         Spark-native choice, and the
+                                         one every SQL oracle mirrors
     CASE WHEN a.num > 3 THEN 'big'       searched CASE expression
          WHEN a.num > 1 THEN 'mid'       (``CypherGS.g4``
          ELSE 'small' END                caseExpression) compiling to
@@ -560,9 +566,11 @@ class _Compiler:
         deferred so property columns can be joined in first."""
         t = p.peek()
         if t == ("op", "-"):
+            # the negated column must not inherit the operand's name —
+            # `RETURN -a.num, a.num` would emit two `a_num` columns
             p.next()
-            inner, name = self._operand(p)
-            return (lambda: -inner()), name
+            inner, _ = self._operand(p)
+            return (lambda: -inner()), "expr"
         if t == ("op", "("):
             # parenthesised arithmetic sub-expression
             p.next()
@@ -738,10 +746,19 @@ class _Compiler:
         if p.accept("kw", "NOT"):
             inner = self._factor(p)
             return lambda: ~inner()
-        if p.accept("op", "("):
-            inner = self._expr(p)
-            p.expect("op", ")")
-            return inner
+        if p.peek() == ("op", "("):
+            # '(' is ambiguous: boolean grouping `(a > 1 OR b > 2)` vs
+            # a parenthesised arithmetic LHS `(a.x + b.x) * 2 > 5`.
+            # Try the boolean read first, backtrack to a comparison
+            # (whose operand path handles arithmetic parens) on error.
+            mark = p.i
+            try:
+                p.next()
+                inner = self._expr(p)
+                p.expect("op", ")")
+                return inner
+            except ValueError:
+                p.i = mark
         return self._comparison(p)
 
     def _term(self, p: _Parser):

@@ -567,9 +567,9 @@ corpus AS (
 
 
 def _gopher_quality_sql() -> str:
-    stops = ", ".join(f"'{w}'" for w in
-                      ["the", "be", "to", "of", "and", "that", "have",
-                       "with"])
+    from graphscope_spark.functions.quality import GOPHER_STOP_WORDS
+
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOP_WORDS)
     return f"""\
 WITH {_GOPHER_CORPUS_SQL},
 t1 AS (SELECT doc_id, text, {_TOKS} AS t,
@@ -4899,6 +4899,9 @@ _REGISTRY_ORDER = [
     # (Lee et al. 2021 window approximation), vocab top-k
     "gopher_quality", "c4_clean", "span_dedup", "vocab_topk",
     "lm_score", "dsir_weights",
+    # text.py gained the shared mean_word_len helper (output-identical
+    # refactor) — its flagship consumer re-enters the window
+    "text_stats",
     # new or operator-changed in round 4: full APSP (landmark
     # batches), property-graph projection, single-action-per-round
     # eigenvector/HITS, and the dedup family whose LSH banding gained
@@ -4914,7 +4917,6 @@ _REGISTRY_ORDER = [
     "embedding_topk", "rel_semijoin",
     "bfs_pred", "bfs_succ",
     "k5_count", "min_cover", "min_dominating",
-    "three_path",
     # multi_source_sssp loop changed late r4 (persist-handle cleanup
     # + shared batch edge table) — every consumer re-enters the
     # window: apsp_full is above; these are the rest
@@ -4967,6 +4969,9 @@ _REGISTRY_ORDER = [
     # dsir_weights — triangles.py is untouched in r5 and both are
     # r4-driver green
     "diamond", "tailed_tri",
+    # three_path rotated out late r5 for the windowed text_stats
+    # (text.py refactor) — triangles.py untouched, r4-driver green
+    "three_path",
     # ---- position 51+: stable driver-green entries, untouched this
     # round.  The late-r4 window additions (dfs, node2vec_walks,
     # skipgram_pairs, triangles, tri_count, cdlp, gremlin_2hop_bag)
@@ -4990,7 +4995,7 @@ _REGISTRY_ORDER = [
     # rotated out late r4 for node2vec_walks/skipgram_pairs:
     # link_jaccard/link_pa — r3-green, linkpred.py untouched in r4
     "link_jaccard", "link_pa",
-    "text_stats", "lang_id", "doc_fingerprint", "simhash", "khop2",
+    "lang_id", "doc_fingerprint", "simhash", "khop2",
     # repetition_stats — r3-green, text.py untouched — rotated out
     # late r4 for the new gremlin_2hop_bag string-front-end query
     "repetition_stats",

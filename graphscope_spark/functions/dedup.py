@@ -199,7 +199,16 @@ def remove_duplicated_spans(
         )
         .distinct()
     )
-    tokpos = df.select(
+    # only documents that actually contain a non-owner duplicate span
+    # pay the token-level explode + reassembly; the (typically vast)
+    # untouched majority passes through as one array_join — the
+    # corpus-sized token shuffle this saves is what matters at 100 TB.
+    # (The victims subtree appears in both branches; a caller looping
+    # over huge corpora can persist() the returned plan's parents, but
+    # the whole function stays lazy by contract.)
+    victim_docs = victims.select(id_col).distinct()
+    touched = df.join(victim_docs, id_col, "left_semi")
+    tokpos = touched.select(
         F.col(id_col), F.posexplode(toks).alias("pos", "tok")
     )
     kept = tokpos.join(victims, [id_col, "pos"], "left_anti")
@@ -213,16 +222,22 @@ def remove_duplicated_spans(
         ).alias(text_col),
         F.count("*").cast("long").alias("n_kept"),
     )
-    sizes = df.select(
+    sizes = touched.select(
         F.col(id_col), F.size(toks).cast("long").alias("n_toks")
     )
-    return sizes.join(out, id_col, "left").select(
+    touched_out = sizes.join(out, id_col, "left").select(
         id_col,
         F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
         (F.col("n_toks") - F.coalesce(F.col("n_kept"), F.lit(0)))
         .cast("long")
         .alias("n_removed"),
     )
+    untouched = df.join(victim_docs, id_col, "left_anti").select(
+        F.col(id_col),
+        F.array_join(toks, " ").alias(text_col),
+        F.lit(0).cast("long").alias("n_removed"),
+    )
+    return touched_out.unionByName(untouched)
 
 
 # ---------------------------------------------------------- shingles

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from graphscope_spark.functions.text import h60, tokens
+from graphscope_spark.functions.text import h60, mean_word_len, tokens
 
 #: Gopher's required-stop-word list (Rae et al. 2021, A1.1): a doc
 #: must contain at least GOPHER_MIN_STOP_HITS distinct of these.
@@ -84,15 +84,7 @@ def gopher_rules(
     lines = _lines(c)
     n_lines = F.size(lines)
 
-    mean_wl = F.when(
-        n_words > 0,
-        F.aggregate(
-            F.transform(toks, lambda t: F.length(t).cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        / n_words,
-    ).otherwise(0.0)
+    mean_wl = mean_word_len(toks)
     symbol_ratio = F.when(
         n_words > 0,
         (_occurrences(c, "#") + _occurrences(c, "...")).cast("double")
@@ -177,7 +169,7 @@ def c4_clean(
     return (
         df.select(
             F.col(id_col),
-            F.array_join(kept, "\n").alias("text"),
+            F.array_join(kept, "\n").alias(text_col),
             n_kept.alias("n_lines"),
             doc_ok.alias("_ok"),
         )

@@ -56,6 +56,21 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
+def mean_word_len(toks: Column) -> Column:
+    """Mean token length over a token array (0.0 when empty) —
+    shared by :func:`text_stats` and ``quality.gopher_rules``."""
+    n = F.size(toks)
+    return F.when(
+        n > 0,
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / n,
+    ).otherwise(0.0)
+
+
 def bpe_ish_token_count(col: Column) -> Column:
     """Count of BPE-ish units: alnum runs + individual non-alnum,
     non-space chars (the usual pre-tokenizer upper bound)."""
@@ -82,15 +97,7 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     toks = tokens(c)
     n_tok = F.size(toks).cast("long")
     char_len = F.length(c).cast("long")
-    mean_wl = F.when(
-        n_tok > 0,
-        F.aggregate(
-            F.transform(toks, lambda t: F.length(t).cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        / n_tok,
-    ).otherwise(0.0)
+    mean_wl = mean_word_len(toks)
     n_punct = punct_count(c)
     punct_ratio = F.when(char_len > 0, n_punct / char_len).otherwise(0.0)
     quality = (

@@ -161,14 +161,16 @@ def main() -> None:
     # cutoff is one approxQuantile driver scalar.
     from graphscope_spark.functions.quality import bigram_lm_logprob
 
-    lm = bigram_lm_logprob(docs)
-    cutoff = lm.approxQuantile("avg_logp", [0.1], 0.001)[0]
-    docs = cut(
-        docs.join(
-            lm.where(F.col("avg_logp") >= cutoff).select("doc_id"),
-            "doc_id", "left_semi",
+    lm = bigram_lm_logprob(docs).persist()  # quantile + gate share it
+    q = lm.approxQuantile("avg_logp", [0.1], 0.001)
+    if q:  # empty survivor set -> nothing to gate
+        docs = cut(
+            docs.join(
+                lm.where(F.col("avg_logp") >= q[0]).select("doc_id"),
+                "doc_id", "left_semi",
+            )
         )
-    )
+    lm.unpersist()
     stages["lm_gate"] = docs.count()
 
     # 6. PII scrub: replace text with the redacted version

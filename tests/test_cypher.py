@@ -646,3 +646,27 @@ def test_case_in_aggregate(spark, g):
          "ELSE 0 END) AS n_big")
     got = cypher(g, q).collect()[0]["n_big"]
     assert got == sum(1 for _, b in EDGES if num[b] > 2)
+
+
+def test_paren_arithmetic_on_where_lhs(spark, g):
+    num = {i: n for i, _, n in VERTS}
+    q = "MATCH (a)-->(b) WHERE (a.num + b.num) * 2 > 10 RETURN a, b"
+    got = rows(cypher(g, q), "a", "b")
+    assert got == sorted(
+        (a, b) for a, b in EDGES if (num[a] + num[b]) * 2 > 10
+    )
+    # boolean grouping still wins when it parses
+    q = "MATCH (a)-->(b) WHERE (a.num > 4 OR b.num > 4) RETURN a, b"
+    got = rows(cypher(g, q), "a", "b")
+    assert got == sorted(
+        (a, b) for a, b in EDGES if num[a] > 4 or num[b] > 4
+    )
+
+
+def test_unary_minus_gets_fresh_column_name(spark, g):
+    df = cypher(g, "MATCH (a)-->(b) RETURN -a.num AS neg, a.num AS pos")
+    r = df.where("pos = 5").first()
+    assert r["neg"] == -5
+    # default name must not clash with the bare operand's
+    df2 = cypher(g, "MATCH (a)-->(b) RETURN -a.num, a.num")
+    assert df2.columns == ["expr", "a_num"]
