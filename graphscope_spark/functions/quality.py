@@ -346,6 +346,38 @@ def dsir_logweights(
     )
 
 
+def dsir_resample(
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "log_weight",
+    seed: str = "dsir",
+) -> DataFrame:
+    """The resampling half of DSIR: draw ``k`` documents WITHOUT
+    replacement with probability ∝ exp(weight) via the Gumbel-top-k
+    trick — ``argtop_k(log_weight + Gumbel noise)`` is exactly
+    importance resampling (Xie et al. 2023 §2; Vieira 2014).  The
+    noise is seeded h60 uniform per doc id, so the draw is
+    deterministic and engine-reproducible.  Plan shape:
+    ``TakeOrderedAndProject`` over one per-row projection — no global
+    sort, no driver-side randomness."""
+    u = (
+        (h60(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+         .cast("double") + F.lit(1.0))
+        / F.lit(float(1 << 60))
+    )
+    gumbel = -F.log(-F.log(u))
+    return (
+        weights.select(
+            F.col(id_col),
+            F.col(weight_col),
+            F.round(F.col(weight_col) + gumbel, 6).alias("key"),
+        )
+        .orderBy(F.desc("key"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def vocab_topk(
     df: DataFrame, k: int = 100, text_col: str = "text"
 ) -> DataFrame:

@@ -176,3 +176,26 @@ def test_dsir_empty_doc_scores_zero(spark):
     assert out[1] == {"doc_id": 1, "n_feats": 0, "log_weight": 0.0} or (
         out[1]["n_feats"] == 0 and out[1]["log_weight"] == 0.0
     )
+
+
+def test_dsir_resample_deterministic_and_weight_biased(spark):
+    from graphscope_spark.functions.quality import (
+        dsir_logweights,
+        dsir_resample,
+    )
+
+    # 30 docs: half target-like, half off-target
+    rows = [(i, "alpha beta gamma delta" if i % 2 == 0
+             else "omega psi chi phi") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    w = dsir_logweights(df, target_df=df.where("doc_id % 2 = 0"))
+    pick1 = sorted(r["doc_id"] for r in dsir_resample(w, k=10).collect())
+    pick2 = sorted(r["doc_id"] for r in dsir_resample(w, k=10).collect())
+    assert pick1 == pick2 and len(pick1) == 10  # seeded + stable
+    n_target = sum(1 for d in pick1 if d % 2 == 0)
+    assert n_target >= 7  # heavily biased toward the target slice
+    # another seed is an equally valid (deterministic) draw
+    pick3 = sorted(
+        r["doc_id"] for r in dsir_resample(w, k=10, seed="other").collect()
+    )
+    assert len(pick3) == 10
