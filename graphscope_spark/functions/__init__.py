@@ -5,9 +5,15 @@ operations a 100 TB training-data pipeline needs, built Spark-first:
 
 - ``text``      — token counting, quality scoring, language ID,
                   document fingerprinting (all JVM-side expressions);
+- ``quality``   — published rule/model filters: Gopher A1.1 rules,
+                  C4 line/page cleaning, vocabulary top-k, CCNet
+                  bigram-LM scoring, DSIR importance weights +
+                  Gumbel-top-k resampling;
 - ``dedup``     — exact, MinHash+LSH, SimHash, n-gram Jaccard,
-                  embedding-cosine near-dup;
-- ``similarity``— brute-force cosine top-k + LSH-bucketed ANN;
+                  embedding-cosine near-dup; duplicated-line and
+                  duplicate-span removal;
+- ``similarity``— brute-force cosine top-k + LSH-bucketed ANN,
+                  IVF-flat posting lists, SemDeDup semantic dedup;
 - ``multimodal``— binary-column plumbing with Arrow-batched
                   ``mapInPandas`` feature extraction (decode stubbed,
                   everything around it real).
