@@ -90,7 +90,10 @@ Supported subset::
     WITH a, count(b) AS n WHERE n > 2 MATCH (a)-->(c) ...
                                          pipeline boundary: project /
                                          aggregate (DISTINCT allowed),
-                                         optionally filter the result
+                                         optionally ORDER BY / SKIP /
+                                         LIMIT the projected rows
+                                         (the top-k-then-re-match
+                                         idiom), optionally filter
                                          (the HAVING analog), then the
                                          item aliases become the WHOLE
                                          variable scope for a further
@@ -998,6 +1001,12 @@ def cypher(graph: Graph, query: str) -> DataFrame:
                 df = df.where(pred())
                 pred = None
             df = _project(df, items, w_distinct)
+            # openCypher allows the row modifiers on WITH too — the
+            # top-k-then-re-match idiom (`WITH a, count(*) AS n ORDER
+            # BY n DESC LIMIT 10 MATCH (a)-->(c) ...`); they apply to
+            # the projected rows BEFORE the optional WHERE
+            worder, wskip, wlimit = _parse_order_skip_limit(p)
+            df = _apply_order_skip_limit(df, worder, wskip, wlimit)
             c.node_vars = [name for _, _, name in items]
             if p.accept("kw", "WHERE"):
                 # post-projection filter over the WITH aliases (the
@@ -1022,7 +1031,21 @@ def cypher(graph: Graph, query: str) -> DataFrame:
     p.expect("kw", "RETURN")
     distinct = p.accept("kw", "DISTINCT")
     items = c.return_items(p)
-    order = []
+    order, skip, limit = _parse_order_skip_limit(p)
+    if p.peek()[0] != "eof":
+        raise ValueError(f"trailing input near {p.peek()[1]!r}")
+
+    df = _apply_props(df, c, graph)
+    if pred is not None:
+        df = df.where(pred())
+    df = _project(df, items, distinct)
+    return _apply_order_skip_limit(df, order, skip, limit)
+
+
+def _parse_order_skip_limit(p: _Parser):
+    """``[ORDER BY col [ASC|DESC], ...] [SKIP n] [LIMIT n]`` — shared
+    by RETURN and WITH (openCypher allows the modifiers on both)."""
+    order: list[tuple[str, bool]] = []
     if p.accept("kw", "ORDER"):
         p.expect("kw", "BY")
         while True:
@@ -1045,13 +1068,10 @@ def cypher(graph: Graph, query: str) -> DataFrame:
     limit = None
     if p.accept("kw", "LIMIT"):
         limit = int(ast.literal_eval(p.expect("num")[1]))
-    if p.peek()[0] != "eof":
-        raise ValueError(f"trailing input near {p.peek()[1]!r}")
+    return order, skip, limit
 
-    df = _apply_props(df, c, graph)
-    if pred is not None:
-        df = df.where(pred())
-    df = _project(df, items, distinct)
+
+def _apply_order_skip_limit(df: DataFrame, order, skip, limit):
     if order:
         df = df.orderBy(*[
             F.col(cn).desc() if d else F.col(cn).asc()

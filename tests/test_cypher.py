@@ -670,3 +670,29 @@ def test_unary_minus_gets_fresh_column_name(spark, g):
     # default name must not clash with the bare operand's
     df2 = cypher(g, "MATCH (a)-->(b) RETURN -a.num, a.num")
     assert df2.columns == ["expr", "a_num"]
+
+
+def test_with_order_limit_topk_then_rematch(spark, g):
+    # top-2 out-degree vertices, then expand one more hop from them
+    deg = {}
+    for a, _ in EDGES:
+        deg[a] = deg.get(a, 0) + 1
+    top2 = sorted(deg, key=lambda v: (-deg[v], v))[:2]
+    q = ("MATCH (a)-->(b) WITH a, count(*) AS n "
+         "ORDER BY n DESC, a ASC LIMIT 2 "
+         "MATCH (a)-->(c) RETURN a, c")
+    got = rows(cypher(g, q), "a", "c")
+    want = sorted((a, c) for a, c in EDGES if a in top2)
+    assert got == want
+
+
+def test_with_order_skip(spark, g):
+    q = ("MATCH (a)-->(b) WITH a, count(*) AS n "
+         "ORDER BY n DESC, a ASC SKIP 1 LIMIT 2 WHERE n > 0 "
+         "RETURN a, n")
+    got = rows(cypher(g, q), "a", "n")
+    deg = {}
+    for a, _ in EDGES:
+        deg[a] = deg.get(a, 0) + 1
+    ranked = sorted(deg.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == sorted(ranked[1:3])
