@@ -60,6 +60,63 @@ def _lines(c: Column) -> Column:
     return F.split(c, "\n")
 
 
+def _gopher_signals(c: Column) -> dict[str, Column]:
+    """The seven Gopher A1.1 signal expressions over a text column —
+    shared by :func:`gopher_rules` (full table) and
+    :func:`gopher_structural_ok` (predicate form)."""
+    toks = tokens(c)
+    n_words = F.size(toks).cast("long")
+    lines = _lines(c)
+    n_lines = F.size(lines)
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len(toks),
+        "symbol_ratio": F.when(
+            n_words > 0,
+            (_occurrences(c, "#") + _occurrences(c, "...")).cast(
+                "double"
+            )
+            / n_words,
+        ).otherwise(0.0),
+        "bullet_frac": F.when(
+            n_lines > 0,
+            F.size(F.filter(lines, lambda l: l.rlike(_BULLET_RE)))
+            .cast("double") / n_lines,
+        ).otherwise(0.0),
+        "ellipsis_frac": F.when(
+            n_lines > 0,
+            F.size(F.filter(lines, lambda l: l.rlike(_ELLIPSIS_RE)))
+            .cast("double") / n_lines,
+        ).otherwise(0.0),
+        "alpha_frac": F.when(
+            n_words > 0,
+            F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+            .cast("double") / n_words,
+        ).otherwise(0.0),
+        "stop_hits": F.size(
+            F.array_intersect(
+                F.array_distinct(toks),
+                F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS]),
+            )
+        ).cast("long"),
+    }
+
+
+def gopher_structural_ok(text_col: str = "text") -> Column:
+    """The four corpus-independent Gopher structure rules as ONE
+    boolean Column (symbol ratio, bullet/ellipsis line fractions,
+    alphabetic-word fraction) — a pure per-row predicate, so it
+    composes into streaming pipelines and fuses with other filters
+    without any join."""
+    s = _gopher_signals(F.col(text_col))
+    return (
+        (s["symbol_ratio"] <= 0.1)
+        & (s["bullet_frac"] < 0.9)
+        & (s["ellipsis_frac"] < 0.3)
+        & (s["alpha_frac"] >= 0.8)
+    )
+
+
 def gopher_rules(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -78,60 +135,25 @@ def gopher_rules(
     ``repetition_stats``); at 100 TB this is a map-only pass whose
     ``keep`` predicate can fuse with downstream filters.
     """
-    c = F.col(text_col)
-    toks = tokens(c)
-    n_words = F.size(toks).cast("long")
-    lines = _lines(c)
-    n_lines = F.size(lines)
-
-    mean_wl = mean_word_len(toks)
-    symbol_ratio = F.when(
-        n_words > 0,
-        (_occurrences(c, "#") + _occurrences(c, "...")).cast("double")
-        / n_words,
-    ).otherwise(0.0)
-    bullet_frac = F.when(
-        n_lines > 0,
-        F.size(F.filter(lines, lambda l: l.rlike(_BULLET_RE))).cast("double")
-        / n_lines,
-    ).otherwise(0.0)
-    ellipsis_frac = F.when(
-        n_lines > 0,
-        F.size(F.filter(lines, lambda l: l.rlike(_ELLIPSIS_RE))).cast(
-            "double"
-        )
-        / n_lines,
-    ).otherwise(0.0)
-    alpha_frac = F.when(
-        n_words > 0,
-        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double")
-        / n_words,
-    ).otherwise(0.0)
-    stop_hits = F.size(
-        F.array_intersect(
-            F.array_distinct(toks),
-            F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS]),
-        )
-    ).cast("long")
-
+    s = _gopher_signals(F.col(text_col))
     keep = (
-        n_words.between(50, 100_000)
-        & mean_wl.between(3.0, 10.0)
-        & (symbol_ratio <= 0.1)
-        & (bullet_frac < 0.9)
-        & (ellipsis_frac < 0.3)
-        & (alpha_frac >= 0.8)
-        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+        s["n_words"].between(50, 100_000)
+        & s["mean_word_len"].between(3.0, 10.0)
+        & (s["symbol_ratio"] <= 0.1)
+        & (s["bullet_frac"] < 0.9)
+        & (s["ellipsis_frac"] < 0.3)
+        & (s["alpha_frac"] >= 0.8)
+        & (s["stop_hits"] >= GOPHER_MIN_STOP_HITS)
     )
     return df.select(
         F.col(id_col),
-        n_words.alias("n_words"),
-        F.round(mean_wl, 6).alias("mean_word_len"),
-        F.round(symbol_ratio, 6).alias("symbol_ratio"),
-        F.round(bullet_frac, 6).alias("bullet_frac"),
-        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
-        F.round(alpha_frac, 6).alias("alpha_frac"),
-        stop_hits.alias("stop_hits"),
+        s["n_words"].alias("n_words"),
+        F.round(s["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(s["symbol_ratio"], 6).alias("symbol_ratio"),
+        F.round(s["bullet_frac"], 6).alias("bullet_frac"),
+        F.round(s["ellipsis_frac"], 6).alias("ellipsis_frac"),
+        F.round(s["alpha_frac"], 6).alias("alpha_frac"),
+        s["stop_hits"].alias("stop_hits"),
         keep.alias("keep"),
     )
 

@@ -92,6 +92,34 @@ def streaming_dedup(
     )
 
 
+def streaming_curation(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming ingest curation: watermarked exact dedup
+    (:func:`streaming_dedup`), then the stateless filter passes —
+    the structural Gopher rules (one boolean predicate) and PII
+    scrubbing — applied directly to the stream.  Every post-dedup op
+    is a pure per-row projection, so the plan is identical in
+    micro-batch and continuous mode and the ONLY state store is the
+    dedup watermark horizon.  This is the ingest-time face of
+    ``jobs/curate_job.py``'s batch stages 1 + 5 + 6; corpus-level
+    stages (near-dup banding, LM scoring, packing) stay batch jobs
+    over the landed data, where a global view exists.
+    """
+    from ..functions.quality import gopher_structural_ok
+    from ..functions.text import PII_PATTERNS
+
+    deduped = streaming_dedup(docs, ts_col, text_col, watermark)
+    kept = deduped.where(gopher_structural_ok(text_col))
+    clean = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:  # same order as batch pii_scrub
+        clean = F.regexp_replace(clean, pat, repl)
+    return kept.withColumn(text_col, clean)
+
+
 def degree_threshold_alerts(
     edge_stream: DataFrame, threshold: int = 100
 ) -> DataFrame:

@@ -136,22 +136,16 @@ def main() -> None:
     # meaningless on the short stop-word-free synthetic corpus and
     # would empty the pipeline; a real English corpus would filter on
     # the combined `keep` column instead.
-    from graphscope_spark.functions.quality import gopher_rules
+    from graphscope_spark.functions.quality import gopher_structural_ok
 
     ts = text_stats(docs).where(F.col("quality") >= 0.8).select("doc_id")
     rs = repetition_stats(docs).where(
         (F.col("distinct_ratio") >= 0.2) & (F.col("top_bigram_frac") <= 0.5)
     ).select("doc_id")
-    gq = gopher_rules(docs).where(
-        (F.col("symbol_ratio") <= 0.1)
-        & (F.col("bullet_frac") < 0.9)
-        & (F.col("ellipsis_frac") < 0.3)
-        & (F.col("alpha_frac") >= 0.8)
-    ).select("doc_id")
     docs = cut(
-        docs.join(ts, "doc_id", "left_semi")
+        docs.where(gopher_structural_ok())  # pure predicate, no join
+        .join(ts, "doc_id", "left_semi")
         .join(rs, "doc_id", "left_semi")
-        .join(gq, "doc_id", "left_semi")
     )
     stages["quality"] = docs.count()
 

@@ -308,3 +308,44 @@ def test_cdlp_warm_start_is_seed_only(spark):
     # cold start's — labels are community ids, not canonical minima)
     assert len(set(got.values())) == 1
     assert set(got.values()) <= {0, 1, 2, 3}
+
+
+def test_streaming_curation_dedup_filter_scrub(spark, tmp_path):
+    from graphscope_spark.streaming.edge_stream import streaming_curation
+
+    src = str(tmp_path / "cur_in")
+    rows = [
+        # survives: clean text (the email is scrubbed, not a drop)
+        (1, "2024-01-01 00:00:01", "write to someone@example.com now"),
+        # exact duplicate of doc 1 -> dropped by the dedup stage
+        (2, "2024-01-01 00:00:02", "write to someone@example.com now"),
+        # symbol-heavy -> dropped by the Gopher structural predicate
+        (3, "2024-01-01 00:00:03", "# # # # # # # # # # words"),
+        # survives untouched
+        (4, "2024-01-01 00:00:04", "an ordinary clean sentence here"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, ts_s string, text string"
+    ).selectExpr("doc_id", "cast(ts_s as timestamp) as ts", "text")
+    df.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream
+        .schema("doc_id long, ts timestamp, text string")
+        .format("parquet").load(src)
+    )
+    q = (
+        streaming_curation(stream)
+        .writeStream.format("memory").queryName("curated")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["text"]
+           for r in spark.sql("SELECT * FROM curated").collect()}
+    # exactly ONE of the two identical docs survives the dedup (batch
+    # arrival order within a micro-batch is not defined), doc 3 is
+    # dropped by the structural predicate, doc 4 passes untouched
+    dup_survivor = set(got) & {1, 2}
+    assert len(dup_survivor) == 1 and 3 not in got and 4 in got
+    s = got[dup_survivor.pop()]
+    assert "<EMAIL>" in s and "@" not in s
+    assert got[4] == "an ordinary clean sentence here"
