@@ -221,6 +221,28 @@ def main() -> None:
           "partial_count" in p and "TakeOrderedAndProject" in p
           and len(re.findall(r"^\(\d+\) Sort\b", p, re.M)) == 0, "")
 
+    # 19. duplicate-span removal: keyed joins only (span/position),
+    # with the untouched-doc fast path visible as a Union — the
+    # corpus-sized token reassembly must be confined to one branch
+    from graphscope_spark.functions.dedup import remove_duplicated_spans
+
+    p = plan_of(remove_duplicated_spans(
+        load(spark, sf_dir, "documents"), n=5, min_docs=2))
+    check("span-dedup: keyed joins + untouched-doc Union fast path",
+          "CartesianProduct" not in p
+          and "Union" in p
+          and "array_sort" in p, "")
+
+    # 20. bigram LM: both model passes are hash aggregates with a
+    # map-side partial_count; scoring joins are keyed (no nested loop)
+    from graphscope_spark.functions.quality import bigram_lm_logprob
+
+    p = plan_of(bigram_lm_logprob(load(spark, sf_dir, "documents")))
+    check("bigram-lm: partial-combined counts + keyed score joins",
+          "partial_count" in p
+          and "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p, "")
+
     spark.stop()
     fails = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(fails)}/{len(CHECKS)} checks passed")
