@@ -854,6 +854,34 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance RESAMPLING through the driver protocol
+    (``functions/quality.dsir_resample``): Gumbel-top-100 draw over
+    the English-target importance weights — seeded h60 noise, so the
+    draw is deterministic and the DuckDB oracle reproduces it
+    bit-for-bit (keys rounded to 6 dp, doc_id tie-break)."""
+    from graphscope_spark.functions.quality import (
+        dsir_logweights,
+        dsir_resample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    w = dsir_logweights(docs, target_df=docs.where(F.col("lang") == "en"))
+    return dsir_resample(w, k=100)
+
+
+def _dsir_select_sql(k: int = 100) -> str:
+    h = _H60.format("'dsir' || doc_id")
+    return f"""\
+SELECT doc_id, log_weight,
+       round(log_weight
+             + (-ln(-ln((({h}) + 1.0) / 1152921504606846976.0))),
+             6) AS key
+FROM ({_dsir_weights_sql()}) w
+ORDER BY key DESC, doc_id LIMIT {k}
+"""
+
+
 def q_vocab_topk(spark, sf_dir):
     """Top-100 corpus vocabulary by frequency
     (``functions/quality.vocab_topk``), word-ascending tie-break."""
@@ -4898,7 +4926,7 @@ _REGISTRY_ORDER = [
     # curation filters (Gopher A1.1, C4 §2.2), duplicate-span removal
     # (Lee et al. 2021 window approximation), vocab top-k
     "gopher_quality", "c4_clean", "span_dedup", "vocab_topk",
-    "lm_score", "dsir_weights",
+    "lm_score", "dsir_weights", "dsir_select",
     # text.py gained the shared mean_word_len helper (output-identical
     # refactor) — its flagship consumer re-enters the window
     "text_stats",
@@ -4916,7 +4944,7 @@ _REGISTRY_ORDER = [
     "ngram_jaccard", "dedup_exact",
     "embedding_topk", "rel_semijoin",
     "bfs_pred", "bfs_succ",
-    "k5_count", "min_cover", "min_dominating",
+    "min_cover", "min_dominating",
     # multi_source_sssp loop changed late r4 (persist-handle cleanup
     # + shared batch edge table) — every consumer re-enters the
     # window: apsp_full is above; these are the rest
@@ -4965,10 +4993,10 @@ _REGISTRY_ORDER = [
     # cypher_case stay inside the window — centrality.py / louvain.py
     # are untouched in r5 and all three queries are r4-driver green
     "closeness_full", "harmonic_sample", "louvain",
-    # diamond + tailed_tri rotated out late r5 for lm_score and
-    # dsir_weights — triangles.py is untouched in r5 and both are
-    # r4-driver green
-    "diamond", "tailed_tri",
+    # diamond + tailed_tri + k5_count rotated out late r5 for
+    # lm_score / dsir_weights / dsir_select — triangles.py is
+    # untouched in r5 and all three are r4-driver green
+    "diamond", "tailed_tri", "k5_count",
     # three_path rotated out late r5 for the windowed text_stats
     # (text.py refactor) — triangles.py untouched, r4-driver green
     "three_path",
@@ -5182,6 +5210,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "vocab_topk": (q_vocab_topk, _VOCAB_TOPK_SQL),
         "lm_score": (q_lm_score, _LM_SCORE_SQL),
         "dsir_weights": (q_dsir_weights, _dsir_weights_sql()),
+        "dsir_select": (q_dsir_select, _dsir_select_sql()),
         "assortativity": (
             q_assortativity,
             "WITH " + _G + ",\n"
