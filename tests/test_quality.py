@@ -199,3 +199,16 @@ def test_dsir_resample_deterministic_and_weight_biased(spark):
         r["doc_id"] for r in dsir_resample(w, k=10, seed="other").collect()
     )
     assert len(pick3) == 10
+
+
+def test_c4_clean_honors_custom_text_col(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta.\n"
+             "one two three four five six!\n"
+             "seven eight nine ten eleven twelve.")],
+        "doc_id long, body string",
+    )
+    out = c4_clean(df, text_col="body").collect()
+    assert len(out) == 1
+    assert out[0]["body"].count("\n") == 2  # named per text_col
+    assert "n_lines" in out[0].asDict()
