@@ -1004,9 +1004,15 @@ def cypher(graph: Graph, query: str) -> DataFrame:
             # openCypher allows the row modifiers on WITH too — the
             # top-k-then-re-match idiom (`WITH a, count(*) AS n ORDER
             # BY n DESC LIMIT 10 MATCH (a)-->(c) ...`); they apply to
-            # the projected rows BEFORE the optional WHERE
+            # the projected rows BEFORE the optional WHERE.  ORDER BY
+            # alone (no SKIP/LIMIT) on a non-terminal WITH has no
+            # observable effect — downstream joins discard row order —
+            # so the global sort is elided rather than paid for
+            # nothing; with SKIP/LIMIT it selects WHICH rows survive
+            # and is applied in full
             worder, wskip, wlimit = _parse_order_skip_limit(p)
-            df = _apply_order_skip_limit(df, worder, wskip, wlimit)
+            if wskip is not None or wlimit is not None:
+                df = _apply_order_skip_limit(df, worder, wskip, wlimit)
             c.node_vars = [name for _, _, name in items]
             if p.accept("kw", "WHERE"):
                 # post-projection filter over the WITH aliases (the

@@ -125,6 +125,17 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+def pii_clean(col: Column) -> Column:
+    """The redaction chain over :data:`PII_PATTERNS`, as one Column —
+    shared by :func:`pii_scrub` (batch table) and
+    ``streaming.edge_stream.streaming_curation`` so the two surfaces
+    can never diverge on pattern order."""
+    clean = col
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return clean
+
+
 def pii_scrub(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -142,11 +153,8 @@ def pii_scrub(
         F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{name}")
         for name, pat, _ in PII_PATTERNS
     ]
-    clean = c
-    for _, pat, repl in PII_PATTERNS:
-        clean = F.regexp_replace(clean, pat, repl)
     return df.select(
-        F.col(id_col), clean.alias("text_clean"), *counts
+        F.col(id_col), pii_clean(c).alias("text_clean"), *counts
     )
 
 

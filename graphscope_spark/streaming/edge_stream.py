@@ -110,14 +110,15 @@ def streaming_curation(
     over the landed data, where a global view exists.
     """
     from ..functions.quality import gopher_structural_ok
-    from ..functions.text import PII_PATTERNS
+    from ..functions.text import pii_clean
 
     deduped = streaming_dedup(docs, ts_col, text_col, watermark)
     kept = deduped.where(gopher_structural_ok(text_col))
-    clean = F.col(text_col)
-    for _, pat, repl in PII_PATTERNS:  # same order as batch pii_scrub
-        clean = F.regexp_replace(clean, pat, repl)
-    return kept.withColumn(text_col, clean)
+    # drop the dedup key: it hashes the PRE-scrub text (stale after
+    # redaction) and would bloat every sink row with 64 hex chars
+    return kept.withColumn(
+        text_col, pii_clean(F.col(text_col))
+    ).drop("content_sha")
 
 
 def degree_threshold_alerts(

@@ -4,9 +4,10 @@ The Structured-Streaming face of ``jobs/curate_job.py``: documents
 land in batches in an input directory; the stream applies
 ``streaming/edge_stream.streaming_curation`` (watermarked exact
 dedup → Gopher structural predicate → inline PII scrub) and appends
-survivors to a parquet sink.  ``--available-now`` drains whatever has
-landed and exits (the backfill / test mode); without it the query
-runs until interrupted (the production ingest mode).
+survivors to a parquet sink.  By default the query drains whatever
+has landed and exits (availableNow — the backfill / demo mode);
+``--continuous`` keeps it running until interrupted (the production
+ingest mode, which therefore prints no summary line).
 
 At 100 TB/day the same plan holds: dedup state is bounded by the
 watermark horizon, every other op is a stateless per-row projection,
@@ -45,6 +46,9 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--master", default="local[8]")
     ap.add_argument("--watermark", default="10 minutes")
+    ap.add_argument("--continuous", action="store_true",
+                    help="run until interrupted instead of draining "
+                         "the landed batches and exiting")
     ap.add_argument("--seed-demo", action="store_true",
                     help="write a small demo batch into --in first")
     args = ap.parse_args()
@@ -68,15 +72,19 @@ def main() -> None:
     stream = (spark.readStream.schema(DOC_SCHEMA)
               .format("parquet").load(args.src))
     curated = streaming_curation(stream, watermark=args.watermark)
-    q = (curated.writeStream.format("parquet")
-         .option("path", args.out)
-         .option("checkpointLocation", args.out + "_ck")
-         .outputMode("append")
-         .trigger(availableNow=True)
-         .start())
+    writer = (curated.writeStream.format("parquet")
+              .option("path", args.out)
+              .option("checkpointLocation", args.out + "_ck")
+              .outputMode("append"))
+    if args.continuous:
+        writer.start().awaitTermination()
+        return  # unreachable until interrupted; no summary line
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
 
-    landed = spark.read.parquet(args.out)
+    # explicit schema: a run where nothing survives leaves a sink
+    # with only _spark_metadata, which schema inference rejects
+    landed = spark.read.schema(curated.schema).parquet(args.out)
     print(json.dumps({
         "metric": "streaming_curation",
         "docs_out": landed.count(),

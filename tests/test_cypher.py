@@ -696,3 +696,13 @@ def test_with_order_skip(spark, g):
         deg[a] = deg.get(a, 0) + 1
     ranked = sorted(deg.items(), key=lambda kv: (-kv[1], kv[0]))
     assert got == sorted(ranked[1:3])
+
+
+def test_with_order_without_limit_is_elided_not_wrong(spark, g):
+    # ORDER BY alone on a non-terminal WITH has no observable effect
+    # (downstream joins discard order) — the sort is skipped, but the
+    # row set must be identical to the unordered pipeline
+    q = ("MATCH (a)-->(b) WITH a, count(*) AS n ORDER BY n DESC "
+         "MATCH (a)-->(c) RETURN a, c")
+    got = rows(cypher(g, q), "a", "c")
+    assert got == sorted(EDGES)
