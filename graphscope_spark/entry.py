@@ -4956,7 +4956,10 @@ _REGISTRY_ORDER = [
     # direction, fluid storage-agnostic undirected edges, ppr empty
     # guard
     "bfs", "sssp", "sssp_path", "sssp_has_path",
-    "voterank",
+    # pii_scrub re-enters (its body now routes through the shared
+    # pii_clean helper); voterank — function untouched in r5,
+    # r4-driver green — rotates out for it
+    "pii_scrub",
     # ann_ivf/louvain stay inside the window (similarity.py changed
     # in r5; louvain was windowed in r4 and rides along); fluid, ppr
     # and edge_betweenness_sample rotate out to make room for the
@@ -5027,7 +5030,7 @@ _REGISTRY_ORDER = [
     # repetition_stats — r3-green, text.py untouched — rotated out
     # late r4 for the new gremlin_2hop_bag string-front-end query
     "repetition_stats",
-    "pii_scrub",
+    "voterank",
     # rotated out late r4 for triangles/tri_count (plan change):
     # decontaminate/stratified_sample — r3-green, curation.py
     # untouched in r4, both pytest-covered
