@@ -883,18 +883,20 @@ ORDER BY key DESC, doc_id LIMIT {k}
 
 
 def q_vocab_topk(spark, sf_dir):
-    """Top-100 corpus vocabulary by frequency
-    (``functions/quality.vocab_topk``), word-ascending tie-break."""
+    """Top-20 corpus vocabulary by frequency
+    (``functions/quality.vocab_topk``).  k=20 < the 31-word synthetic
+    vocabulary, so the cut is real and the (cnt desc, word asc)
+    tie-break is exercised at the boundary in both engines."""
     from graphscope_spark.functions.quality import vocab_topk
 
-    return vocab_topk(load(spark, sf_dir, "documents"), k=100)
+    return vocab_topk(load(spark, sf_dir, "documents"), k=20)
 
 
 _VOCAB_TOPK_SQL = f"""\
 WITH toks AS (SELECT {_TOKS} AS t FROM documents),
 w AS (SELECT unnest(t) AS word FROM toks),
 c AS (SELECT word, count(*)::BIGINT AS cnt FROM w GROUP BY word)
-SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 100
+SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 20
 """
 
 
