@@ -4945,8 +4945,14 @@ _REGISTRY_ORDER = [
     "semantic_dedup",
     "ngram_jaccard", "dedup_exact",
     "embedding_topk", "rel_semijoin",
-    "bfs_pred", "bfs_succ",
-    "min_cover", "min_dominating",
+    # walks.py's loop gained an unconditional final lineage cut this
+    # session — its walk queries re-enter the window; bfs_pred /
+    # bfs_succ (functions untouched in r5, r4-driver green) rotate out
+    "node2vec_walks",
+    # random_walks joins node2vec_walks in the window (same changed
+    # loop); min_dominating — function untouched in r5, r4-driver
+    # green — rotates out
+    "min_cover", "random_walks",
     # multi_source_sssp loop changed late r4 (persist-handle cleanup
     # + shared batch edge table) — every consumer re-enters the
     # window: apsp_full is above; these are the rest
@@ -4975,7 +4981,7 @@ _REGISTRY_ORDER = [
     # make room for it and the late-r5 semantic_dedup — both r4-green
     # with their operator (triangles.py) untouched in r5
     "gremlin_2hop_bag",
-    "pack_sequences", "random_walks",
+    "pack_sequences", "bfs_pred", "bfs_succ", "min_dominating",
     # cdlp pulled back in late r4 (operator gained init_labels warm
     # start for streaming incrementals); pii_scrub — r3-green, pure
     # column exprs, text.py untouched — rotated to the tail for it
@@ -4987,7 +4993,7 @@ _REGISTRY_ORDER = [
     # triangles.py untouched in r5) — they made room for the late-r5
     # cypher_varlen, cypher_optional, semantic_dedup, and
     # random_multi_bfs window entries
-    "tri_count", "triangles", "skipgram_pairs", "node2vec_walks",
+    "tri_count", "triangles", "skipgram_pairs",
     "tri_variants", "modularity",
     # rotated out late r5 for gopher_quality/c4_clean/span_dedup/
     # vocab_topk (see window note above); betweenness.py is untouched

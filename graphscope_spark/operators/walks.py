@@ -42,6 +42,8 @@ def sample_neighbors(
     cached CSR row (sort a ≤degree-length array, slice k) — no
     shuffle beyond the adjacency build, no per-row Python.
     """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     adj = g.adjacency(direction="out", sort_lists=True)
     if strategy == "topk":
         picked = F.slice("dst_list", 1, k)
@@ -102,6 +104,11 @@ def negative_sampling(
     """
     from pyspark.sql import Window
 
+    if k < 1:
+        # sequence(0, k-1) with k=0 silently DESCENDS to [0, -1]
+        # (Spark's default step is -1 when start > stop) and would
+        # emit two negatives per vertex instead of zero
+        raise ValueError(f"k must be >= 1, got {k}")
     n = g.vertices.count()
     cand_j = F.explode(
         F.sequence(F.lit(0), F.lit(k - 1))
@@ -249,8 +256,14 @@ def node2vec_walks(
             # the frontier feeds BOTH the next step and the output
             # union; without periodic truncation the union's analyzed
             # plan grows ~2^length (each level re-embeds all prior
-            # joins) and explainString OOMs the driver on length ≥ 6
-            cur = maybe_truncate_lineage(cur, s, 2)
+            # joins) and explainString OOMs the driver on length ≥ 6.
+            # The LAST step cuts unconditionally so every per-step
+            # Exchange executes inside this AQE-off scope — only the
+            # narrow union of checkpointed levels runs outside it
+            if s == length:
+                cur = cur.localCheckpoint(eager=True)
+            else:
+                cur = maybe_truncate_lineage(cur, s, 2)
             out_levels.append(
                 cur.select("walk_id", F.lit(s).alias("step"), "v")
             )
@@ -336,8 +349,13 @@ def random_walks(
                 )
             )
             # see node2vec_walks: the output union re-embeds every
-            # prior level's plan, so long walks need lineage cuts
-            cur = maybe_truncate_lineage(cur, s, 3)
+            # prior level's plan, so long walks need lineage cuts;
+            # the last step cuts unconditionally so all per-step
+            # Exchanges execute inside the AQE-off scope
+            if s == length:
+                cur = cur.localCheckpoint(eager=True)
+            else:
+                cur = maybe_truncate_lineage(cur, s, 3)
             levels.append(cur)
     out = levels[0]
     for lv in levels[1:]:

@@ -83,6 +83,14 @@ class CheckpointManager:
             self._p("lineage", superstep)
         )
         spark = state.sparkSession
+        # every metric is stored as a double: coerce NOW so a
+        # non-numeric value fails loudly here instead of being
+        # silently nulled by from_json against the double schema;
+        # reserved keys would produce a duplicate DDL column
+        for k in metrics:
+            if k in ("superstep", "wall_ts"):
+                raise ValueError(f"metric name {k!r} is reserved")
+        metrics = {k: float(v) for k, v in metrics.items()}
         mrow = {"superstep": superstep, "wall_ts": time.time(), **metrics}
         # schema built without a trailing separator: an empty metrics
         # dict previously produced "..., " which Spark's DDL parser
@@ -114,18 +122,25 @@ class CheckpointManager:
     def load_state(self, spark: SparkSession, superstep: int) -> DataFrame:
         return spark.read.parquet(self._p("state", superstep))
 
-    def load_metrics(self, spark: SparkSession) -> DataFrame:
+    def load_metrics(self, spark: SparkSession) -> DataFrame | None:
         """Metrics of COMMITTED supersteps only — an uncommitted
         (crash-truncated, no ``_SUCCESS``) superstep dir must not
         contribute phantom rows (the same commit rule
-        ``latest_superstep`` applies)."""
+        ``latest_superstep`` applies).  Returns ``None`` when no
+        superstep has committed yet (mirrors ``latest_superstep`` —
+        a crash before the first commit is an expected state for a
+        resume/monitoring caller, not an exception)."""
         mdir = os.path.join(self.base, "metrics")
+        if not os.path.isdir(mdir):
+            return None
         paths = [
             os.path.join(mdir, d)
             for d in sorted(os.listdir(mdir))
             if d.startswith("superstep=")
             and self._committed("metrics", int(d.split("=", 1)[1]))
         ]
+        if not paths:
+            return None
         return spark.read.option("basePath", mdir).parquet(*paths)
 
 

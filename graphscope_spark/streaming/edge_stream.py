@@ -220,22 +220,35 @@ def _incremental_graph_stream(
                 g.symmetrized_edges(), directed=False,
                 vertices=g.vertices,
             )
-        try:
-            prev = spark.read.parquet(
-                f"{work_dir}/{state_dir}"
-            ).localCheckpoint(eager=True)
-        except Exception:
-            prev = None
-        state = compute(g, prev)
-        state.write.mode("overwrite").parquet(
-            f"{work_dir}/{state_dir}_next"
-        )
+        import os
         import shutil
 
-        shutil.rmtree(f"{work_dir}/{state_dir}", ignore_errors=True)
-        shutil.move(
-            f"{work_dir}/{state_dir}_next", f"{work_dir}/{state_dir}"
+        live = f"{work_dir}/{state_dir}"
+        nxt = f"{live}_next"
+        old = f"{live}_old"
+        # cold start vs real failure must stay distinguishable: only
+        # a genuinely absent state dir means "no previous state" —
+        # a corrupt/unreadable one should fail the batch loudly, not
+        # silently degrade every future batch to a cold start.  If a
+        # crash landed between the two renames below, the fully
+        # committed _next (written before any swap step) is adopted.
+        src = next((p for p in (live, nxt) if os.path.exists(p)), None)
+        prev = (
+            spark.read.parquet(src).localCheckpoint(eager=True)
+            if src is not None else None
         )
+        state = compute(g, prev)
+        state.write.mode("overwrite").parquet(nxt)
+        # atomic-rename swap (same filesystem): live -> _old,
+        # _next -> live, then drop _old.  Any crash point leaves
+        # either live or a complete _next for the reader above;
+        # os.rename never nests a directory inside an existing one
+        # (the old rmtree+shutil.move pair could).
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(live):
+            os.rename(live, old)
+        os.rename(nxt, live)
+        shutil.rmtree(old, ignore_errors=True)
 
     return (
         edge_stream.writeStream.foreachBatch(on_batch)
@@ -424,10 +437,23 @@ def incremental_triangles(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        try:
-            # prior log = every batch partition EXCEPT this one, so a
-            # replayed batch recomputes against the same "before"
-            # state it saw the first time (idempotent)
+        import os
+
+        # prior log = every batch partition EXCEPT this one, so a
+        # replayed batch recomputes against the same "before" state
+        # it saw the first time (idempotent).  Only the genuinely-
+        # missing-log case (first batch) may fall back to old=None:
+        # a transient read/anti-join failure must fail the batch —
+        # swallowing it would recount already-counted triangles AND
+        # append duplicate rows to the log, corrupting every future
+        # delta (foreachBatch retries the batch on failure).
+        log_dir = f"{work_dir}/edges"
+        has_log = os.path.exists(log_dir) and any(
+            n.startswith("batch=") for n in os.listdir(log_dir)
+        )
+        if not has_log:
+            old = None
+        else:
             old = (
                 spark.read.option(
                     "basePath", f"{work_dir}/edges"
@@ -442,8 +468,6 @@ def incremental_triangles(
                 new = new.join(
                     old, ["src", "dst"], "left_anti"
                 ).localCheckpoint(eager=True)
-        except Exception:
-            old = None
         delta = 0 if new.isEmpty() else triangle_delta(old, new)
         new.write.mode("overwrite").parquet(
             f"{work_dir}/edges/batch={batch_id}"
